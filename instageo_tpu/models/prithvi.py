@@ -1,0 +1,463 @@
+"""Prithvi geospatial ViT encoder, TPU-native (JAX/Flax).
+
+Re-implements the behavior of the reference encoder
+(``instageo/model/pritvhi.py``) with a TPU-first design:
+
+* the 3D "conv" patch embedding is a pure reshape + one large matmul that
+  maps directly onto the MXU (a Conv3d with kernel == stride is exactly a
+  blocked matmul; reference uses ``nn.Conv3d`` — pritvhi.py:243-245);
+* the transformer runs in a configurable compute dtype (bfloat16 on TPU)
+  with float32 softmax/normalization accumulation;
+* positional embeddings are deterministic sincos buffers computed at trace
+  time from static shapes (the reference stores them as a frozen buffer and
+  always overwrites them on checkpoint load — utils.py:297-298), so they are
+  constant-folded by XLA;
+* everything is shape-static and jit/pjit friendly.
+
+Numerics (sincos grids, 4:6:6 embed split, token ordering, pre-LN blocks
+with exact GELU) match the reference (pritvhi.py:67-127, 370-530) within
+float tolerance; see tests/model_tests/test_prithvi.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Sincos positional embeddings (numpy; static per model config)
+# ---------------------------------------------------------------------------
+
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    """1D sincos embedding: ``[sin(pos ⊗ ω), cos(pos ⊗ ω)]``.
+
+    Matches reference ``pritvhi.py:67-89``: ``ω_d = 1/10000^(2d/D)``.
+    """
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float32)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000**omega
+    pos = np.asarray(pos, dtype=np.float32).reshape(-1)
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_3d_sincos_pos_embed(
+    embed_dim: int,
+    grid_size: Tuple[int, int, int],
+    cls_token: bool = False,
+) -> np.ndarray:
+    """3D sincos embedding over a (t, h, w) grid.
+
+    The embedding dim splits 4:6:6 (t:h:w) in units of ``embed_dim // 16``
+    and concatenates in (w, h, t) order; tokens are laid out t-major, then h,
+    then w. Matches reference ``pritvhi.py:92-127``.
+    """
+    assert embed_dim % 16 == 0
+    t_size, h_size, w_size = grid_size
+
+    w_embed_dim = embed_dim // 16 * 6
+    h_embed_dim = embed_dim // 16 * 6
+    t_embed_dim = embed_dim // 16 * 4
+
+    w_pos = get_1d_sincos_pos_embed_from_grid(w_embed_dim, np.arange(w_size))
+    h_pos = get_1d_sincos_pos_embed_from_grid(h_embed_dim, np.arange(h_size))
+    t_pos = get_1d_sincos_pos_embed_from_grid(t_embed_dim, np.arange(t_size))
+
+    w_pos = np.tile(w_pos, (t_size * h_size, 1))
+    h_pos = np.tile(np.repeat(h_pos, w_size, axis=0), (t_size, 1))
+    t_pos = np.repeat(t_pos, h_size * w_size, axis=0)
+
+    pos_embed = np.concatenate((w_pos, h_pos, t_pos), axis=1)
+    if cls_token:
+        pos_embed = np.concatenate([np.zeros([1, embed_dim]), pos_embed], axis=0)
+    return pos_embed.astype(np.float32)
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with a = -0.75 (torch's bicubic)."""
+    x = np.abs(x)
+    out = np.where(
+        x <= 1.0,
+        (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0,
+        np.where(x < 2.0, a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a, 0.0),
+    )
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _bicubic_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix: torch bicubic, align_corners=True.
+
+    Output i samples input at ``i·(n_in-1)/(n_out-1)`` with 4 cubic taps and
+    border clamping — exactly torch's upsample path. Shapes are static, so
+    the resize becomes two constant matmuls that XLA folds away.
+    """
+    if n_in == 1 or n_out == 1:
+        mat = np.zeros((n_out, n_in), np.float32)
+        mat[:, 0] = 1.0
+        return mat
+    scale = (n_in - 1) / (n_out - 1)
+    src = np.arange(n_out, dtype=np.float64) * scale
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    mat = np.zeros((n_out, n_in), np.float64)
+    for tap in range(-1, 3):
+        idx = np.clip(i0 + tap, 0, n_in - 1)
+        w = _cubic_kernel(frac - tap)
+        np.add.at(mat, (np.arange(n_out), idx), w)
+    return mat.astype(np.float32)
+
+
+def _resize_bicubic_align_corners(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic resize with torch align_corners=True semantics (last two dims).
+
+    Matches ``torch.nn.functional.interpolate(mode="bicubic",
+    align_corners=True)`` (reference pritvhi.py:195-200) exactly, expressed
+    as two static interpolation matmuls (MXU-friendly, constant-folded under
+    jit since shapes are static).
+    """
+    h_in, w_in = img.shape[-2:]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return img
+    mh = jnp.asarray(_bicubic_matrix_align_corners(h_in, h_out))
+    mw = jnp.asarray(_bicubic_matrix_align_corners(w_in, w_out))
+    out = jnp.einsum("oh,...hw->...ow", mh, img.astype(jnp.float32))
+    return jnp.einsum("pw,...ow->...op", mw, out)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_pos_embed(embed_dim: int, grid_size: Tuple[int, int, int]) -> np.ndarray:
+    return get_3d_sincos_pos_embed(embed_dim, grid_size, cls_token=True)[None]
+
+
+def interpolate_pos_encoding(
+    embed_dim: int,
+    grid_size: Tuple[int, int, int],
+    patch_size: Sequence[int],
+    sample_shape: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """Positional encoding for an input of ``sample_shape`` = (T, H, W).
+
+    Re-generates the sincos field when the number of frames changes and
+    bicubically interpolates (align_corners) when the spatial grid changes.
+    Matches reference ``pritvhi.py:149-203``. All shapes are static, so under
+    jit this folds to a constant.
+    """
+    t, h, w = sample_shape
+    t_patches = t // patch_size[0]
+    h_patches = h // patch_size[1]
+    w_patches = w // patch_size[2]
+
+    if (t_patches, h_patches, w_patches) == tuple(grid_size):
+        return jnp.asarray(_cached_pos_embed(embed_dim, tuple(grid_size)))
+
+    if t_patches != grid_size[0]:
+        new_grid = (t_patches, grid_size[1], grid_size[2])
+    else:
+        new_grid = tuple(grid_size)
+    pos = jnp.asarray(_cached_pos_embed(embed_dim, new_grid))
+
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    patch_pos = patch_pos.reshape(*new_grid, embed_dim)
+    # (t, h, w, D) -> (t, D, h, w) for spatial resize on trailing dims.
+    patch_pos = patch_pos.transpose(0, 3, 1, 2)
+    patch_pos = _resize_bicubic_align_corners(patch_pos, (h_patches, w_patches))
+    patch_pos = patch_pos.transpose(0, 2, 3, 1).reshape(1, -1, embed_dim)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+
+class PatchEmbed3D(nn.Module):
+    """3D patch embedding as reshape + matmul (MXU-native).
+
+    Equivalent to the reference ``nn.Conv3d(in_chans, embed_dim,
+    kernel_size=patch, stride=patch)`` (pritvhi.py:206-270): with kernel ==
+    stride a conv is a blocked matmul, so we rearrange the input into
+    per-patch feature vectors ordered ``(c, pt, ph, pw)`` — the Conv3d weight
+    contraction order — and apply a single Dense layer. This keeps the whole
+    embedding on the MXU with no im2col materialization.
+    """
+
+    patch_size: Tuple[int, int, int]
+    embed_dim: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, C, T, H, W) -> tokens (B, L, D), L ordered t-major, h, w."""
+        b, c, t, h, w = x.shape
+        pt, ph, pw = self.patch_size
+        if t % pt or h % ph or w % pw:
+            # Reference warns and ignores the border (pritvhi.py:260-264).
+            x = x[:, :, : (t // pt) * pt, : (h // ph) * ph, : (w // pw) * pw]
+            t, h, w = x.shape[2:]
+        gt, gh, gw = t // pt, h // ph, w // pw
+        # (B, C, gt, pt, gh, ph, gw, pw) -> (B, gt, gh, gw, C, pt, ph, pw)
+        x = x.reshape(b, c, gt, pt, gh, ph, gw, pw)
+        x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        x = x.reshape(b, gt * gh * gw, c * pt * ph * pw)
+        x = x.astype(self.dtype)
+        return nn.Dense(
+            self.embed_dim,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (timm ``Block`` attention semantics).
+
+    Fused qkv projection, f32 softmax, bf16-friendly matmuls. Sequence
+    lengths here are small (≤ ~1k tokens for 224px/T≤4), so a single
+    XLA-fused attention is already MXU-bound; a Pallas flash-attention path
+    can be swapped in via ``attn_impl`` for long-sequence experiments.
+    """
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, d = x.shape
+        assert d % self.num_heads == 0
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(
+            3 * d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, Dh)
+
+        if self.attn_impl == "pallas":
+            from instageo_tpu.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            scale = head_dim**-0.5
+            attn = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
+
+        out = out.reshape(b, l, d)
+        return nn.Dense(
+            d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        )(out)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: Dense -> exact GELU -> Dense (timm ``Mlp``)."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1"
+        )(x)
+        # timm uses nn.GELU() (exact erf form), not the tanh approximation.
+        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
+        return nn.Dense(
+            self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2"
+        )(x)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block: x + Attn(LN(x)); x + MLP(LN(x)).
+
+    Matches ``timm.models.vision_transformer.Block`` with qkv_bias=True,
+    LayerScale/DropPath disabled (reference constructs it so —
+    pritvhi.py:445-457 with drop_path=0).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
+        )(y.astype(self.dtype))
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(
+            int(d * self.mlp_ratio), d, dtype=self.dtype, name="mlp"
+        )(y.astype(self.dtype))
+        return x
+
+
+def _sincos_from_values(embed_dim: int, values: jnp.ndarray) -> jnp.ndarray:
+    """1D sincos embedding of runtime values (jnp version, traced)."""
+    omega = jnp.arange(embed_dim // 2, dtype=jnp.float32)
+    omega = omega / (embed_dim / 2.0)
+    omega = 1.0 / 10000**omega
+    out = jnp.einsum("m,d->md", values.reshape(-1).astype(jnp.float32), omega)
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
+
+
+class TemporalEncoder(nn.Module):
+    """Year + julian-day sincos encoding (reference pritvhi.py:273-322)."""
+
+    embed_dim: int
+    trainable_scale: bool = False
+
+    @nn.compact
+    def __call__(
+        self, temporal_coords: jnp.ndarray, tokens_per_frame: Optional[int] = None
+    ) -> jnp.ndarray:
+        """temporal_coords: (B, T, 2) of (year, day-of-year)."""
+        b, t, _ = temporal_coords.shape
+        year_dim = self.embed_dim // 2
+        jday_dim = self.embed_dim - year_dim
+        year = _sincos_from_values(year_dim, temporal_coords[:, :, 0]).reshape(b, t, -1)
+        jday = _sincos_from_values(jday_dim, temporal_coords[:, :, 1]).reshape(b, t, -1)
+        if self.trainable_scale:
+            scale = self.param("scale", lambda _: jnp.full((1,), 0.1, jnp.float32))
+        else:
+            scale = jnp.ones((1,), jnp.float32)
+        emb = scale * jnp.concatenate([year, jday], axis=-1)
+        if tokens_per_frame is not None:
+            emb = jnp.repeat(emb, tokens_per_frame, axis=1)
+        return emb
+
+
+class LocationEncoder(nn.Module):
+    """Lat/lon sincos encoding (reference pritvhi.py:325-367)."""
+
+    embed_dim: int
+    trainable_scale: bool = False
+
+    @nn.compact
+    def __call__(self, location_coords: jnp.ndarray) -> jnp.ndarray:
+        """location_coords: (B, 2) of (lat, lon)."""
+        b = location_coords.shape[0]
+        lat_dim = self.embed_dim // 2
+        lon_dim = self.embed_dim - lat_dim
+        lat = _sincos_from_values(lat_dim, location_coords[:, 0]).reshape(b, 1, -1)
+        lon = _sincos_from_values(lon_dim, location_coords[:, 1]).reshape(b, 1, -1)
+        if self.trainable_scale:
+            scale = self.param("scale", lambda _: jnp.full((1,), 0.1, jnp.float32))
+        else:
+            scale = jnp.ones((1,), jnp.float32)
+        return scale * jnp.concatenate([lat, lon], axis=-1)
+
+
+class PrithviViT(nn.Module):
+    """Prithvi ViT encoder (reference pritvhi.py:370-530).
+
+    Input ``(B, C, T, H, W)`` (or ``(B, C, H, W)`` when the temporal patch is
+    1), output ``(B, 1 + T·h·w, D)`` tokens including the cls token.
+
+    Temporal/location encoders are instantiated for the ``_tl`` variants so
+    their (scale) parameters round-trip through checkpoints, and — matching
+    the reference forward, which constructs but does not apply them
+    (pritvhi.py:498-530) — they are only added when coords are passed
+    explicitly.
+    """
+
+    img_size: int = 224
+    patch_size: Tuple[int, int, int] = (1, 16, 16)
+    num_frames: int = 1
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    coords_encoding: Tuple[str, ...] = ()
+    coords_scale_learn: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        return (
+            self.num_frames // self.patch_size[0],
+            self.img_size // self.patch_size[1],
+            self.img_size // self.patch_size[2],
+        )
+
+    @property
+    def num_patches(self) -> int:
+        gt, gh, gw = self.grid_size
+        return gt * gh * gw
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temporal_coords: Optional[jnp.ndarray] = None,
+        location_coords: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if x.ndim == 4 and self.patch_size[0] == 1:
+            x = x[:, :, None]  # add time dim (reference pritvhi.py:507-509)
+        sample_shape = x.shape[-3:]
+
+        tokens = PatchEmbed3D(
+            patch_size=tuple(self.patch_size),
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+
+        pos_embed = interpolate_pos_encoding(
+            self.embed_dim, self.grid_size, self.patch_size, sample_shape
+        )
+        tokens = tokens + pos_embed[:, 1:, :].astype(tokens.dtype)
+
+        if "time" in self.coords_encoding:
+            enc = TemporalEncoder(
+                self.embed_dim, self.coords_scale_learn, name="temporal_embed_enc"
+            )
+            if temporal_coords is not None:
+                tokens_per_frame = tokens.shape[1] // temporal_coords.shape[1]
+                tokens = tokens + enc(temporal_coords, tokens_per_frame).astype(tokens.dtype)
+            else:
+                # Materialize params so _tl checkpoints round-trip.
+                _ = enc(jnp.zeros((1, 1, 2), jnp.float32)) * 0.0
+        if "location" in self.coords_encoding:
+            enc = LocationEncoder(
+                self.embed_dim, self.coords_scale_learn, name="location_embed_enc"
+            )
+            if location_coords is not None:
+                tokens = tokens + enc(location_coords).astype(tokens.dtype)
+            else:
+                _ = enc(jnp.zeros((1, 2), jnp.float32)) * 0.0
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, self.embed_dim)
+        )
+        cls = (cls_token + pos_embed[:, :1, :]).astype(tokens.dtype)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (tokens.shape[0], 1, self.embed_dim)), tokens], axis=1
+        )
+
+        for i in range(self.depth):
+            tokens = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"blocks_{i}",
+            )(tokens)
+
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(tokens)
+        return tokens

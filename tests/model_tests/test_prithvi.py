@@ -1,0 +1,180 @@
+"""Numerics tests for the Prithvi encoder: parity vs torch primitives.
+
+Each critical layer is checked against the equivalent torch op with shared
+weights — validating both the math and the checkpoint weight-layout
+conversions (reference semantics: instageo/model/pritvhi.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+
+from instageo_tpu.models.prithvi import (
+    Block,
+    PatchEmbed3D,
+    PrithviViT,
+    _resize_bicubic_align_corners,
+    get_1d_sincos_pos_embed_from_grid,
+    get_3d_sincos_pos_embed,
+    interpolate_pos_encoding,
+)
+
+
+def test_1d_sincos_matches_formula():
+    d, m = 32, 7
+    pos = np.arange(m, dtype=np.float32)
+    emb = get_1d_sincos_pos_embed_from_grid(d, pos)
+    assert emb.shape == (m, d)
+    omega = 1.0 / 10000 ** (np.arange(d // 2) / (d / 2.0))
+    np.testing.assert_allclose(emb[:, : d // 2], np.sin(np.outer(pos, omega)), atol=1e-6)
+    np.testing.assert_allclose(emb[:, d // 2 :], np.cos(np.outer(pos, omega)), atol=1e-6)
+
+
+def test_3d_sincos_layout():
+    d = 64  # divisible by 16
+    t, h, w = 2, 3, 4
+    emb = get_3d_sincos_pos_embed(d, (t, h, w), cls_token=True)
+    assert emb.shape == (1 + t * h * w, d)
+    np.testing.assert_array_equal(emb[0], np.zeros(d))
+    # Token (t0,h0,w0) vs (t0,h0,w1): only the w-section (first 6/16·d) differs.
+    w_dim = d // 16 * 6
+    tok = emb[1:]
+    assert not np.allclose(tok[0, :w_dim], tok[1, :w_dim])
+    np.testing.assert_allclose(tok[0, w_dim:], tok[1, w_dim:], atol=1e-6)
+    # (t0,h0,w0) vs (t1,h0,w0): only the t-section (last 4/16·d) differs.
+    t_dim = d // 16 * 4
+    stride_t = h * w
+    np.testing.assert_allclose(tok[0, : d - t_dim], tok[stride_t, : d - t_dim], atol=1e-6)
+    assert not np.allclose(tok[0, d - t_dim :], tok[stride_t, d - t_dim :])
+
+
+def test_bicubic_align_corners_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 7, 9)).astype(np.float32)
+    out = _resize_bicubic_align_corners(jnp.asarray(x), (14, 18))
+    ref = F.interpolate(
+        torch.from_numpy(x), size=(14, 18), mode="bicubic", align_corners=True
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_patch_embed_matches_conv3d():
+    rng = np.random.default_rng(1)
+    b, c, t, h, w = 2, 6, 3, 32, 32
+    patch = (1, 16, 16)
+    d = 64
+    x = rng.standard_normal((b, c, t, h, w)).astype(np.float32)
+
+    mod = PatchEmbed3D(patch_size=patch, embed_dim=d)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = mod.apply(params, jnp.asarray(x))
+
+    # Same weights through torch Conv3d(kernel=stride=patch).
+    kernel = np.asarray(params["params"]["proj"]["kernel"])  # (c*pt*ph*pw, d)
+    bias = np.asarray(params["params"]["proj"]["bias"])
+    conv = torch.nn.Conv3d(c, d, kernel_size=patch, stride=patch)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(kernel.T.reshape(d, c, *patch)))
+        conv.bias.copy_(torch.from_numpy(bias))
+        ref = conv(torch.from_numpy(x))  # (b, d, t, h/16, w/16)
+        ref = ref.flatten(2).transpose(1, 2).numpy()  # (b, L, d)
+
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+def _torch_block(x, p, num_heads):
+    """timm-Block-equivalent forward in torch from our param tree."""
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a))
+
+    xt = torch.from_numpy(x)
+    h = F.layer_norm(xt, (x.shape[-1],), t(p["norm1"]["scale"]), t(p["norm1"]["bias"]), 1e-5)
+    qkv = h @ t(p["attn"]["qkv"]["kernel"]) + t(p["attn"]["qkv"]["bias"])
+    b, l, _ = qkv.shape
+    d = x.shape[-1]
+    qkv = qkv.reshape(b, l, 3, num_heads, d // num_heads).permute(2, 0, 3, 1, 4)
+    attn_out = F.scaled_dot_product_attention(qkv[0], qkv[1], qkv[2])
+    attn_out = attn_out.transpose(1, 2).reshape(b, l, d)
+    attn_out = attn_out @ t(p["attn"]["proj"]["kernel"]) + t(p["attn"]["proj"]["bias"])
+    xt = xt + attn_out
+    h = F.layer_norm(xt, (d,), t(p["norm2"]["scale"]), t(p["norm2"]["bias"]), 1e-5)
+    h = h @ t(p["mlp"]["fc1"]["kernel"]) + t(p["mlp"]["fc1"]["bias"])
+    h = F.gelu(h)  # exact erf gelu, like timm's nn.GELU()
+    h = h @ t(p["mlp"]["fc2"]["kernel"]) + t(p["mlp"]["fc2"]["bias"])
+    return (xt + h).numpy()
+
+
+def test_block_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 10, 32)).astype(np.float32)
+    mod = Block(num_heads=4)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    ref = _torch_block(x, params["params"], num_heads=4)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_vit_forward_shapes_and_pos_embed():
+    mod = PrithviViT(
+        img_size=32, patch_size=(1, 16, 16), num_frames=2, in_chans=6,
+        embed_dim=64, depth=2, num_heads=4,
+    )
+    x = jnp.zeros((2, 6, 2, 32, 32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (2, 1 + 2 * 2 * 2, 64)
+
+    # With zero input and zero projection bias untouched, the tokens before
+    # blocks equal the pos embed; just check determinism instead.
+    out2 = mod.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_vit_accepts_4d_input_when_temporal_patch_is_1():
+    mod = PrithviViT(
+        img_size=32, patch_size=(1, 16, 16), num_frames=1, in_chans=3,
+        embed_dim=64, depth=1, num_heads=4,
+    )
+    x = jnp.zeros((1, 3, 32, 32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    assert mod.apply(params, x).shape == (1, 5, 64)
+
+
+def test_interpolate_pos_encoding_identity_and_resize():
+    grid = (2, 4, 4)
+    same = interpolate_pos_encoding(64, grid, (1, 16, 16), (2, 64, 64))
+    np.testing.assert_allclose(
+        np.asarray(same)[0], get_3d_sincos_pos_embed(64, grid, cls_token=True), atol=1e-6
+    )
+    # Different frame count: regenerated for new t.
+    newt = interpolate_pos_encoding(64, grid, (1, 16, 16), (3, 64, 64))
+    assert newt.shape == (1, 1 + 3 * 16, 64)
+    # Different spatial size: bicubic resize.
+    news = interpolate_pos_encoding(64, grid, (1, 16, 16), (2, 128, 128))
+    assert news.shape == (1, 1 + 2 * 64, 64)
+
+
+def test_tl_variant_has_scale_params():
+    mod = PrithviViT(
+        img_size=32, patch_size=(1, 16, 16), num_frames=1, in_chans=3,
+        embed_dim=64, depth=1, num_heads=4,
+        coords_encoding=("time", "location"), coords_scale_learn=True,
+    )
+    x = jnp.zeros((1, 3, 1, 32, 32))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    p = params["params"]
+    assert "temporal_embed_enc" in p and "location_embed_enc" in p
+    np.testing.assert_allclose(np.asarray(p["temporal_embed_enc"]["scale"]), [0.1])
+
+    # Forward with coords changes the output.
+    base = mod.apply(params, x)
+    tc = jnp.asarray([[[2020.0, 120.0]]])
+    lc = jnp.asarray([[10.0, 20.0]])
+    withc = mod.apply(params, x, temporal_coords=tc, location_coords=lc)
+    assert not np.allclose(np.asarray(base), np.asarray(withc))

@@ -1,0 +1,107 @@
+"""Tests for the PrithviSeg decoder: torch parity + shape semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+
+from instageo_tpu.models.seg import ConvTranspose2dTorch, PrithviSeg, create_prithvi_seg
+
+
+def test_conv_transpose_matches_torch():
+    rng = np.random.default_rng(0)
+    b, h, w, cin, cout = 2, 7, 7, 8, 4
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+
+    mod = ConvTranspose2dTorch(cout)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert out.shape == (b, 2 * h, 2 * w, cout)
+
+    # Convert our HWIO correlation kernel back to torch layout: torch
+    # ConvTranspose2d weight is (I, O, kh, kw) = flip(our kernel).T on the
+    # spatial dims (see models/checkpoint.py for the forward conversion).
+    kernel = np.asarray(params["params"]["kernel"])  # (kh, kw, I, O)
+    bias = np.asarray(params["params"]["bias"])
+    tconv = torch.nn.ConvTranspose2d(cin, cout, 3, stride=2, padding=1, output_padding=1)
+    with torch.no_grad():
+        w_t = torch.from_numpy(kernel[::-1, ::-1].copy()).permute(2, 3, 0, 1)
+        tconv.weight.copy_(w_t)
+        tconv.bias.copy_(torch.from_numpy(bias))
+        ref = tconv(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_prithvi_seg_tiny_shapes():
+    model = create_prithvi_seg("prithvi_eo_tiny", num_classes=3, temporal_step=1,
+                               image_size=32, num_bands=6)
+    x = jnp.zeros((2, 6, 1, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    logits = model.apply(variables, x)
+    # tiny: patch 16 -> grid 2x2, 4 upscaling x2 stages -> 32x32.
+    assert logits.shape == (2, 3, 32, 32)
+
+    logits2, feats = model.apply(variables, x, return_features=True)
+    assert feats.shape == (2, 256, 2, 2)  # (B, D*T, s, s)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits2))
+
+
+def test_prithvi_seg_train_mode_updates_batch_stats():
+    model = create_prithvi_seg("prithvi_eo_tiny", num_classes=2, temporal_step=1,
+                               image_size=32, num_bands=6)
+    x = jnp.ones((2, 6, 1, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, mutated = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 2, 32, 32)
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_prithvi_seg_multitemporal_channel_layout():
+    """Channel layout after the token reshape must be d-major, t-minor."""
+    model = create_prithvi_seg("prithvi_eo_tiny", num_classes=2, temporal_step=2,
+                               image_size=32, num_bands=6)
+    x = jnp.zeros((1, 6, 2, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, feats = model.apply(variables, x, return_features=True)
+    assert feats.shape == (1, 512, 2, 2)  # D*T = 256*2
+
+
+@pytest.mark.parametrize("variant,expected_out", [
+    ("prithvi_eo_tiny", 32),
+])
+def test_head_output_resolution(variant, expected_out):
+    model = create_prithvi_seg(variant, num_classes=2, image_size=32, num_bands=6)
+    x = jnp.zeros((1, 6, 1, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape[-1] == expected_out
+
+
+def test_v2_600_kernel_shrink_formula():
+    """k=5/7 with padding=1 shrink the map exactly like the reference.
+
+    Per stage: out = 2*in (convT) - (k - 3). For s0=2 (img 32, p14 -> side
+    2 after int sqrt), stages k=(5,5,5,7): 2,4->2? — just verify against the
+    composed formula on the real model.
+    """
+    side = 2  # encoder side for image_size=28, patch 14
+    expected = side
+    for k in (5, 5, 5, 7):
+        expected = 2 * expected - (k - 3)
+    model = create_prithvi_seg("prithvi_eo_v2_600", num_classes=2, image_size=28,
+                               num_bands=6, depth=1)
+    x = jnp.zeros((1, 6, 1, 28, 28))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 2, expected, expected)
