@@ -1,0 +1,111 @@
+"""Masked losses for segmentation / regression / distillation.
+
+Reproduces the reference loss semantics on device with static shapes
+(pad-and-mask instead of boolean indexing):
+
+* segmentation: per-pixel weighted CE with ``reduction="none"`` followed by
+  a masked mean — i.e. ``sum(w[y]·nll·mask)/sum(mask)``, *not* torch's
+  weighted-mean normalization (reference segmentation.py:84-122);
+* regression: masked MSE, optional log1p label scaling
+  (regression.py:34-61, 140-160);
+* distillation: CE + KLDiv(student‖teacher, batchmean over valid pixels)
+  for segmentation (segmentation.py:351-391), MSE + MSE for regression
+  (regression.py:398).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = -100,
+    class_weights: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """Weighted masked CE. logits (B, C, H, W) f32, labels (B, H, W) int.
+
+    Returns the scalar mean over valid pixels of ``w[y]·nll(y)``.
+    """
+    num_classes = logits.shape[1]
+    labels = labels.astype(jnp.int32)
+    mask = (labels != ignore_index).astype(jnp.float32)
+    safe_labels = jnp.clip(labels, 0, num_classes - 1)
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    # Gather log-prob of the target class: (B, H, W).
+    nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=1)[:, 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, dtype=jnp.float32)
+        nll = nll * w[safe_labels]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (nll * mask).sum() / denom
+
+
+def masked_mse(
+    preds: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: float = -1.0,
+    use_log_scale: bool = False,
+) -> jnp.ndarray:
+    """Masked MSE. preds/labels (B, H, W) f32; optional log1p target scale."""
+    preds = preds.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    mask = (labels != ignore_index).astype(jnp.float32)
+    if use_log_scale:
+        # Keep masked-out entries finite (log1p(-1) = -inf would poison the
+        # masked sum with inf·0 = nan).
+        labels = jnp.where(mask > 0, jnp.log1p(jnp.maximum(labels, -0.999999)), 0.0)
+    sq = (preds - labels) ** 2
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (sq * mask).sum() / denom
+
+
+def kl_distillation_loss(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = -100,
+) -> jnp.ndarray:
+    """KLDiv(log_softmax(student), softmax(teacher)), batchmean over valid px.
+
+    Logits are (B, C, H, W); labels (B, H, W) define validity.
+    """
+    mask = (labels != ignore_index).astype(jnp.float32)  # (B, H, W)
+    logp_s = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=1)
+    p_t = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=1)
+    logp_t = jax.nn.log_softmax(teacher_logits.astype(jnp.float32), axis=1)
+    kl = (p_t * (logp_t - logp_s)).sum(axis=1)  # (B, H, W)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (kl * mask).sum() / denom
+
+
+def mse_distillation_loss(
+    student_out: jnp.ndarray,
+    teacher_out: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: float = -1.0,
+) -> jnp.ndarray:
+    """Mean squared student-vs-teacher error over valid pixels."""
+    mask = (labels != ignore_index).astype(jnp.float32)
+    sq = (student_out.astype(jnp.float32) - teacher_out.astype(jnp.float32)) ** 2
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (sq * mask).sum() / denom
+
+
+def segmentation_loss_with_distillation(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = -100,
+    class_weights: Optional[Sequence[float]] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    """total = masked CE + KLDiv (reference segmentation.py:351-391)."""
+    ce = masked_cross_entropy(student_logits, labels, ignore_index, class_weights)
+    kl = kl_distillation_loss(student_logits, teacher_logits, labels, ignore_index)
+    total = ce + kl
+    return total, {"loss": total, "ce_loss": ce, "distill_loss": kl}

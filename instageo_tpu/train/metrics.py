@@ -1,0 +1,409 @@
+"""Streaming metrics, accumulated on device — no per-step host syncs.
+
+The reference updates numpy metrics with a ``.cpu().numpy()`` transfer every
+step (segmentation.py:143-151), a device→host sync the TPU rebuild removes:
+metric state here is a small pytree of integer/float accumulators carried
+through the jitted step function, with a single host transfer per epoch at
+``compute()`` time. Metric *formulas* match the reference ``metrics.py``
+exactly (validated against scikit-learn in tests, like the reference's own
+test suite).
+
+States provided:
+* :class:`ConfusionMatrix` — acc / precision / recall / F1 / IoU, macro +
+  per-class (reference metrics.py:63-171);
+* :class:`AucHistogram` — 1024-bin one-vs-rest streaming ROC-AUC
+  (metrics.py:179-281);
+* :class:`RegressionStats` — RMSE / MAE / R² / Pearson / expected-error
+  (metrics.py:289-420).
+
+Numpy wrappers (``RunningConfusionMatrix`` etc.) expose the reference's
+host-side API for non-jit consumers (data QA, the web backend).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    den = np.asarray(den, dtype=float)
+    out = np.zeros_like(den, dtype=float)
+    np.divide(num, den, out=out, where=den != 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class ConfusionMatrix:
+    """Device-side streaming confusion matrix (single-label)."""
+
+    matrix: jnp.ndarray  # (C, C) int32
+    total: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def empty(cls, num_classes: int) -> "ConfusionMatrix":
+        return cls(
+            matrix=jnp.zeros((num_classes, num_classes), jnp.int32),
+            total=jnp.zeros((), jnp.int32),
+        )
+
+    def update(
+        self,
+        y_true: jnp.ndarray,
+        y_pred: jnp.ndarray,
+        ignore_index: Optional[int] = None,
+    ) -> "ConfusionMatrix":
+        """Scatter-add a batch. Any shapes; invalid labels are masked out."""
+        c = self.matrix.shape[0]
+        y_true = y_true.reshape(-1).astype(jnp.int32)
+        y_pred = y_pred.reshape(-1).astype(jnp.int32)
+        valid = jnp.ones_like(y_true, dtype=bool)
+        if ignore_index is not None:
+            valid = y_true != ignore_index
+        yt = jnp.clip(y_true, 0, c - 1)
+        yp = jnp.clip(y_pred, 0, c - 1)
+        idx = yt * c + yp
+        upd = jnp.zeros(c * c, jnp.int32).at[idx].add(valid.astype(jnp.int32))
+        return ConfusionMatrix(
+            matrix=self.matrix + upd.reshape(c, c),
+            total=self.total + valid.sum(dtype=jnp.int32),
+        )
+
+    def merge(self, other: "ConfusionMatrix") -> "ConfusionMatrix":
+        return ConfusionMatrix(self.matrix + other.matrix, self.total + other.total)
+
+    def compute(self, include_per_class: bool = True) -> Dict:
+        """Host-side finalize; formulas match reference metrics.py:125-166."""
+        m = np.asarray(jax.device_get(self.matrix), dtype=np.int64)
+        total = int(jax.device_get(self.total))
+        tp = np.diag(m)
+        fp = m.sum(axis=0) - tp
+        fn = m.sum(axis=1) - tp
+        precision = _safe_div(tp, tp + fp)
+        recall = _safe_div(tp, tp + fn)
+        f1 = _safe_div(2 * precision * recall, precision + recall)
+        jaccard = _safe_div(tp, tp + fp + fn)
+        out: Dict = {
+            "accuracy": tp.sum() / total if total else float("nan"),
+            "precision": precision.mean(),
+            "recall": recall.mean(),
+            "f1": f1.mean(),
+            "jaccard": jaccard.mean(),
+        }
+        if include_per_class:
+            out.update(
+                {
+                    "precision_per_class": precision.tolist(),
+                    "recall_per_class": recall.tolist(),
+                    "f1_per_class": f1.tolist(),
+                    "jaccard_per_class": jaccard.tolist(),
+                }
+            )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Histogram ROC-AUC (one-vs-rest)
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class AucHistogram:
+    """Device-side histogram ROC-AUC state (reference metrics.py:179-281)."""
+
+    pos_hist: jnp.ndarray  # (C, n_bins) int32
+    neg_hist: jnp.ndarray  # (C, n_bins) int32
+
+    @classmethod
+    def empty(cls, num_classes: int, n_bins: int = 1024) -> "AucHistogram":
+        return cls(
+            pos_hist=jnp.zeros((num_classes, n_bins), jnp.int32),
+            neg_hist=jnp.zeros((num_classes, n_bins), jnp.int32),
+        )
+
+    def update(
+        self,
+        y_true: jnp.ndarray,
+        y_score: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
+    ) -> "AucHistogram":
+        """y_true (N,), y_score (N, C) probabilities in [0, 1]."""
+        c, n_bins = self.pos_hist.shape
+        y_true = y_true.reshape(-1).astype(jnp.int32)
+        y_score = y_score.reshape(-1, c)
+        if valid is None:
+            valid = jnp.ones_like(y_true, dtype=bool)
+        else:
+            valid = valid.reshape(-1)
+        # bin = floor(clip(score) * (n_bins - 1))  (reference _bin, :209-212)
+        bins = jnp.floor(jnp.clip(y_score, 0.0, 1.0) * (n_bins - 1)).astype(jnp.int32)
+        is_pos = y_true[:, None] == jnp.arange(c)[None, :]
+        v = valid[:, None]
+        flat = bins + jnp.arange(c)[None, :] * n_bins
+        pos_upd = (
+            jnp.zeros(c * n_bins, jnp.int32)
+            .at[flat.reshape(-1)]
+            .add((is_pos & v).reshape(-1).astype(jnp.int32))
+        )
+        neg_upd = (
+            jnp.zeros(c * n_bins, jnp.int32)
+            .at[flat.reshape(-1)]
+            .add(((~is_pos) & v).reshape(-1).astype(jnp.int32))
+        )
+        return AucHistogram(
+            pos_hist=self.pos_hist + pos_upd.reshape(c, n_bins),
+            neg_hist=self.neg_hist + neg_upd.reshape(c, n_bins),
+        )
+
+    def score(self, include_per_class: bool = True) -> Dict:
+        """Host-side AUC via cumulative histograms (metrics.py:246-274)."""
+        pos = np.asarray(jax.device_get(self.pos_hist), dtype=np.float64)
+        neg = np.asarray(jax.device_get(self.neg_hist), dtype=np.float64)
+        n_pos = pos.sum(axis=1)
+        n_neg = neg.sum(axis=1)
+        cum_neg_before = np.cumsum(neg, axis=1) - neg
+        auc_num = (pos * cum_neg_before).sum(axis=1) + 0.5 * (pos * neg).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            per_class = np.where(
+                (n_pos > 0) & (n_neg > 0), auc_num / (n_pos * n_neg), np.nan
+            )
+        macro = np.nanmean(per_class) if not np.all(np.isnan(per_class)) else float("nan")
+        if include_per_class:
+            return {"roc_auc_macro": macro, "roc_auc_per_class": per_class.tolist()}
+        return {"roc_auc_macro": macro}
+
+
+# ---------------------------------------------------------------------------
+# Regression statistics
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class RegressionStats:
+    """Device-side sum statistics for streaming regression metrics."""
+
+    n: jnp.ndarray
+    sum_x: jnp.ndarray
+    sum_y: jnp.ndarray
+    sum_xy: jnp.ndarray
+    sum_x2: jnp.ndarray
+    sum_y2: jnp.ndarray
+    sum_abs_error: jnp.ndarray
+    sum_squared_error: jnp.ndarray
+    within_ee_count: jnp.ndarray
+
+    @classmethod
+    def empty(cls) -> "RegressionStats":
+        z = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        return cls(n=z, sum_x=z, sum_y=z, sum_xy=z, sum_x2=z, sum_y2=z,
+                   sum_abs_error=z, sum_squared_error=z, within_ee_count=z)
+
+    def update(
+        self,
+        y_true: jnp.ndarray,
+        y_pred: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
+        ee_bias: float = 0.05,
+        ee_coef: float = 0.15,
+    ) -> "RegressionStats":
+        x = y_true.reshape(-1).astype(jnp.float32)
+        y = y_pred.reshape(-1).astype(jnp.float32)
+        if valid is None:
+            v = jnp.ones_like(x)
+        else:
+            v = valid.reshape(-1).astype(jnp.float32)
+        x = x * v
+        y = y * v
+        abs_err = jnp.abs(y - x)
+        within = (abs_err <= ee_bias + ee_coef * x).astype(jnp.float32) * v
+        return RegressionStats(
+            n=self.n + v.sum(),
+            sum_x=self.sum_x + x.sum(),
+            sum_y=self.sum_y + y.sum(),
+            sum_xy=self.sum_xy + (x * y).sum(),
+            sum_x2=self.sum_x2 + (x * x).sum(),
+            sum_y2=self.sum_y2 + (y * y).sum(),
+            sum_abs_error=self.sum_abs_error + (abs_err * v).sum(),
+            sum_squared_error=self.sum_squared_error + (abs_err * abs_err * v).sum(),
+            within_ee_count=self.within_ee_count + within.sum(),
+        )
+
+    def compute(self, include_ee: bool = False, ee_bias: float = 0.05,
+                ee_coef: float = 0.15) -> Dict:
+        s = {k: float(jax.device_get(getattr(self, k))) for k in (
+            "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+            "sum_abs_error", "sum_squared_error", "within_ee_count")}
+        n = s["n"]
+        if n == 0:
+            nan = float("nan")
+            return {"mae": nan, "rmse": nan, "r2_score": nan,
+                    "pearson_corrcoef": nan, "ee_percentage": None,
+                    "ee_bias": ee_bias, "ee_coef": ee_coef}
+        mae = s["sum_abs_error"] / n
+        rmse = float(np.sqrt(s["sum_squared_error"] / n))
+        x_mean = s["sum_x"] / n
+        y_mean = s["sum_y"] / n
+        ss_tot = s["sum_x2"] - n * x_mean * x_mean
+        r2 = 1 - s["sum_squared_error"] / ss_tot if (n >= 2 and ss_tot != 0) else float("nan")
+        cov = s["sum_xy"] - n * x_mean * y_mean
+        std_x = np.sqrt(max(s["sum_x2"] - n * x_mean * x_mean, 0.0))
+        std_y = np.sqrt(max(s["sum_y2"] - n * y_mean * y_mean, 0.0))
+        pearson = cov / (std_x * std_y) if (n >= 2 and std_x and std_y) else float("nan")
+        return {
+            "mae": mae,
+            "rmse": rmse,
+            "r2_score": r2,
+            "pearson_corrcoef": pearson,
+            "ee_percentage": (s["within_ee_count"] / n * 100) if include_ee else None,
+            "ee_bias": ee_bias,
+            "ee_coef": ee_coef,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Numpy wrappers with the reference's host-side API
+# ---------------------------------------------------------------------------
+
+
+class RunningConfusionMatrix:
+    """Numpy streaming confusion matrix (reference API, metrics.py:63-171)."""
+
+    def __init__(self, num_classes: int, ignore_index: Optional[int] = None) -> None:
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+        self.reset()
+
+    def update(self, y_true, y_pred) -> None:
+        y_true = np.asarray(y_true).ravel()
+        y_pred = np.asarray(y_pred).ravel()
+        if y_true.shape != y_pred.shape:
+            raise ValueError("y_true and y_pred shapes differ.")
+        if self.ignore_index is not None:
+            mask = y_true != self.ignore_index
+            y_true, y_pred = y_true[mask], y_pred[mask]
+        if y_true.size == 0:
+            return
+        k = self.num_classes
+        binc = np.bincount(y_true * k + y_pred, minlength=k * k)
+        self.matrix += binc.reshape(k, k)
+        self.total += y_true.size
+
+    def compute(self, include_per_class: bool = True) -> Dict:
+        state = ConfusionMatrix(
+            matrix=jnp.asarray(self.matrix, jnp.int32),
+            total=jnp.asarray(self.total, jnp.int32),
+        )
+        return state.compute(include_per_class)
+
+    def reset(self) -> None:
+        self.matrix = np.zeros((self.num_classes, self.num_classes), np.int64)
+        self.total = 0
+
+
+class RunningAUC:
+    """Numpy streaming ROC-AUC (reference API, metrics.py:179-281)."""
+
+    def __init__(self, num_classes: int, n_bins: int = 1024,
+                 min_score: float = 0.0, max_score: float = 1.0) -> None:
+        self.num_classes = num_classes
+        self.n_bins = n_bins
+        self.min_score = min_score
+        self.max_score = max_score
+        self.reset()
+
+    def update(self, y_true, y_score) -> None:
+        y_true = np.asarray(y_true).ravel()
+        y_score = np.asarray(y_score)
+        if y_score.ndim == 1:
+            if self.num_classes != 2:
+                raise ValueError("For 1-D y_score, num_classes must be 2.")
+            y_score = np.stack([1 - y_score, y_score], axis=1)
+        if y_true.shape[0] != y_score.shape[0]:
+            raise ValueError("y_true and y_score length mismatch.")
+        if y_score.shape[1] != self.num_classes:
+            raise ValueError("Second dim of y_score must equal num_classes.")
+        span = self.max_score - self.min_score
+        norm = (np.clip(y_score, self.min_score, self.max_score) - self.min_score) / span
+        bins = (norm * (self.n_bins - 1)).astype(np.int64)
+        for cls in range(self.num_classes):
+            pos = y_true == cls
+            self.pos_hist[cls] += np.bincount(bins[pos, cls], minlength=self.n_bins)
+            self.neg_hist[cls] += np.bincount(bins[~pos, cls], minlength=self.n_bins)
+
+    def score(self, include_per_class: bool = True) -> Dict:
+        state = AucHistogram(
+            pos_hist=jnp.asarray(self.pos_hist, jnp.int32),
+            neg_hist=jnp.asarray(self.neg_hist, jnp.int32),
+        )
+        return state.score(include_per_class)
+
+    def reset(self) -> None:
+        self.pos_hist = np.zeros((self.num_classes, self.n_bins), np.int64)
+        self.neg_hist = np.zeros((self.num_classes, self.n_bins), np.int64)
+
+
+class RunningRegressionMetrics:
+    """Numpy streaming regression metrics (reference API, metrics.py:289-420)."""
+
+    def __init__(self, ee_bias: float = 0.05, ee_coef: float = 0.15,
+                 include_ee: bool = False) -> None:
+        self.ee_bias = ee_bias
+        self.ee_coef = ee_coef
+        self.include_ee = include_ee
+        self.reset()
+
+    def update(self, y_true, y_pred) -> None:
+        y_true = np.asarray(y_true, dtype=np.float64).ravel()
+        y_pred = np.asarray(y_pred, dtype=np.float64).ravel()
+        if y_true.shape != y_pred.shape:
+            raise ValueError("y_true and y_pred shapes differ.")
+        self.n += y_true.size
+        self.sum_x += y_true.sum()
+        self.sum_y += y_pred.sum()
+        self.sum_xy += (y_true * y_pred).sum()
+        self.sum_x2 += (y_true * y_true).sum()
+        self.sum_y2 += (y_pred * y_pred).sum()
+        abs_err = np.abs(y_pred - y_true)
+        self.sum_abs_error += abs_err.sum()
+        self.sum_squared_error += (abs_err * abs_err).sum()
+        self.within_ee_count += np.sum(abs_err <= self.ee_bias + self.ee_coef * y_true)
+
+    def compute(self) -> Dict:
+        n = self.n
+        if n == 0:
+            nan = float("nan")
+            return {"mae": nan, "rmse": nan, "r2_score": nan,
+                    "pearson_corrcoef": nan, "ee_percentage": None,
+                    "ee_bias": self.ee_bias, "ee_coef": self.ee_coef}
+        mae = self.sum_abs_error / n
+        rmse = float(np.sqrt(self.sum_squared_error / n))
+        x_mean = self.sum_x / n
+        y_mean = self.sum_y / n
+        ss_tot = self.sum_x2 - n * x_mean * x_mean
+        r2 = 1 - self.sum_squared_error / ss_tot if (n >= 2 and ss_tot != 0) else float("nan")
+        cov = self.sum_xy - n * x_mean * y_mean
+        std_x = np.sqrt(max(self.sum_x2 - n * x_mean * x_mean, 0.0))
+        std_y = np.sqrt(max(self.sum_y2 - n * y_mean * y_mean, 0.0))
+        pearson = cov / (std_x * std_y) if (n >= 2 and std_x and std_y) else float("nan")
+        return {
+            "mae": mae, "rmse": rmse, "r2_score": r2,
+            "pearson_corrcoef": pearson,
+            "ee_percentage": (self.within_ee_count / n * 100) if self.include_ee else None,
+            "ee_bias": self.ee_bias, "ee_coef": self.ee_coef,
+        }
+
+    def reset(self) -> None:
+        self.n = 0
+        self.sum_x = self.sum_y = self.sum_xy = 0.0
+        self.sum_x2 = self.sum_y2 = 0.0
+        self.sum_abs_error = self.sum_squared_error = 0.0
+        self.within_ee_count = 0
