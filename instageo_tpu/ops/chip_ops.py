@@ -1,0 +1,224 @@
+"""Device-side chip math: mask decode, chip extraction, seg-map stamping.
+
+The reference does this work per-chip in xarray/numpy on Dask workers
+(``instageo/data/data_pipeline.py:66-267``, ``hls_utils.py:500-556``); here
+the whole tile's worth of chips is processed in ONE jitted call on TPU:
+
+* gather all chips from the HBM-resident tile with a vmapped dynamic slice;
+* decode QA masks bitwise (HLS Fmask) or by class (S2 SCL) on the VPU;
+* apply the ``each``/``any`` masking strategy and no-data fill;
+* stamp point labels (with ``(2w+1)²`` windows) into segmentation maps via
+  scatter-add — static shapes, pad-and-mask for the variable point count;
+* compute chip/seg-map validity reductions.
+
+Numeric behavior matches the reference invariants in SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Fmask bit positions (reference data_pipeline.py:44-47).
+MASK_DECODING_POS = {
+    "HLS": {"cloud": 1, "near_cloud_or_shadow": 2, "cloud_shadow": 3, "water": 5},
+    "S2": {"cloud": [8, 9], "water": [6]},
+}
+
+SEG_MAP_NO_DATA = -1
+
+
+def decode_fmask_value(mask: jnp.ndarray, position: int) -> jnp.ndarray:
+    """Extract one QA bit: ``value // 2^pos mod 2`` (reference hls_utils.py:77-86)."""
+    return (mask.astype(jnp.int32) // (2 ** position)) % 2
+
+
+def decode_scl_mask(mask: jnp.ndarray, classes: Sequence[int]) -> jnp.ndarray:
+    """S2 SCL class membership (reference s2_utils.py ``create_mask_from_scl``)."""
+    out = jnp.zeros_like(mask, dtype=jnp.int32)
+    for c in classes:
+        out = out | (mask.astype(jnp.int32) == c).astype(jnp.int32)
+    return out
+
+
+def decode_mask(mask: jnp.ndarray, pos) -> jnp.ndarray:
+    """Dispatch on position spec: int -> bit decode, list -> class decode."""
+    if isinstance(pos, (list, tuple)):
+        return decode_scl_mask(mask, pos)
+    return decode_fmask_value(mask, int(pos))
+
+
+@functools.partial(jax.jit, static_argnames=("chip_size",))
+def extract_chips(tile: jnp.ndarray, coords: jnp.ndarray, chip_size: int) -> jnp.ndarray:
+    """Gather chips from a tile: (B, H, W) + (N, 2) xy chip indices -> (N, B, cs, cs).
+
+    xy are chip-grid indices (col, row) as produced by ``get_chip_coords``.
+    """
+
+    def one(xy):
+        start = (0, xy[1] * chip_size, xy[0] * chip_size)
+        return jax.lax.dynamic_slice(
+            tile, start, (tile.shape[0], chip_size, chip_size))
+
+    return jax.vmap(one)(coords.astype(jnp.int32))
+
+
+def apply_mask(
+    chips: jnp.ndarray,
+    masks: jnp.ndarray,
+    no_data_value: float,
+    data_source: str = "HLS",
+    mask_types: Sequence[str] = ("cloud",),
+    masking_strategy: str = "each",
+) -> jnp.ndarray:
+    """Mask chips with decoded QA bits (reference data_pipeline.py:229-267).
+
+    chips: (N, T·C, cs, cs); masks: (N, T, cs, cs) raw QA values.
+    ``each`` repeats each timestep's mask over its bands; ``any`` collapses
+    over time and masks every band.
+    """
+    n, tc, h, w = chips.shape
+    t = masks.shape[1]
+    out = chips
+    for mask_type in mask_types:
+        pos = MASK_DECODING_POS[data_source].get(mask_type)
+        if not pos:
+            continue
+        decoded = decode_mask(masks, pos)  # (N, T, h, w)
+        if masking_strategy == "each":
+            m = jnp.repeat(decoded, tc // t, axis=1)
+        elif masking_strategy == "any":
+            m = jnp.broadcast_to(decoded.any(axis=1, keepdims=True), (n, tc, h, w))
+        else:
+            raise ValueError(f"Invalid masking strategy: {masking_strategy}")
+        out = jnp.where(m == 0, out, no_data_value)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chip_size", "window_size", "is_reg")
+)
+def stamp_segmentation(
+    coords_rc: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    chip_size: int,
+    window_size: int = 0,
+    is_reg: bool = False,
+) -> jnp.ndarray:
+    """Stamp labels at pixel (row, col) with a (2w+1)² window -> (cs, cs).
+
+    Matches reference ``create_segmentation_map`` (data_pipeline.py:385-421):
+    window offsets are clipped to the chip bounds; later points overwrite
+    earlier ones. Invalid (padded) points write nothing.
+    """
+    dtype = jnp.float32 if is_reg else jnp.int16
+    seg = jnp.full((chip_size, chip_size), SEG_MAP_NO_DATA, dtype)
+    offsets = jnp.arange(-window_size, window_size + 1)
+    orow, ocol = jnp.meshgrid(offsets, offsets, indexing="ij")
+    rows = jnp.clip(coords_rc[:, 0, None, None] + orow, 0, chip_size - 1)
+    cols = jnp.clip(coords_rc[:, 1, None, None] + ocol, 0, chip_size - 1)
+    vals = jnp.broadcast_to(
+        labels[:, None, None].astype(dtype), rows.shape)
+    # Padded points scatter to a dummy out-of-range index (dropped).
+    big = chip_size  # out-of-bounds row for invalid points
+    rows = jnp.where(valid[:, None, None], rows, big)
+    seg = seg.at[rows.reshape(-1), cols.reshape(-1)].set(
+        vals.reshape(-1), mode="drop")
+    return seg
+
+
+def mask_segmentation_map(
+    chip: jnp.ndarray,
+    seg_map: jnp.ndarray,
+    chip_no_data_value: float,
+    masking_strategy: str = "any",
+) -> jnp.ndarray:
+    """Invalidate seg-map pixels without chip data (reference dp.py:66-98).
+
+    ``each``: pixel valid if ANY band has data; ``any``: valid only if ALL
+    bands have data.
+    """
+    if masking_strategy == "each":
+        valid = (chip != chip_no_data_value).any(axis=0)
+    elif masking_strategy == "any":
+        valid = (chip != chip_no_data_value).all(axis=0)
+    else:
+        raise ValueError(f"Invalid masking strategy: {masking_strategy}")
+    return jnp.where(valid, seg_map, SEG_MAP_NO_DATA)
+
+
+def chip_has_data(chips: jnp.ndarray, no_data_value: float) -> jnp.ndarray:
+    """Per-chip: any pixel has data (reference dp.py:212-213)."""
+    return (chips != no_data_value).any(axis=(1, 2, 3))
+
+
+def seg_has_labels(seg_maps: jnp.ndarray) -> jnp.ndarray:
+    """Per-chip: any labeled pixel (reference dp.py:217-219)."""
+    return (seg_maps != SEG_MAP_NO_DATA).any(axis=(1, 2))
+
+
+def process_tile_chips(
+    tile: np.ndarray,
+    mask_tile: Optional[np.ndarray],
+    chip_coords: np.ndarray,
+    point_rc: np.ndarray,
+    point_labels: np.ndarray,
+    point_chip_idx: np.ndarray,
+    chip_size: int,
+    no_data_value: float,
+    data_source: str = "HLS",
+    mask_types: Sequence[str] = (),
+    masking_strategy: str = "each",
+    window_size: int = 0,
+    is_reg: bool = False,
+    max_points_per_chip: int = 512,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full tile -> (chips, seg_maps, chip_valid, seg_valid), one device pass.
+
+    Host assembles static-shape inputs (points padded per chip); everything
+    else runs jitted on the accelerator.
+
+    Args:
+        tile: (T·C, H, W) imagery; mask_tile: (T, H, W) QA or None.
+        chip_coords: (N, 2) chip-grid xy indices.
+        point_rc: (P, 2) tile-pixel (row, col) per observation.
+        point_labels: (P,) labels; point_chip_idx: (P,) owning chip index.
+    """
+    n = len(chip_coords)
+    coords = jnp.asarray(chip_coords, jnp.int32)
+    chips = extract_chips(jnp.asarray(tile), coords, chip_size)
+    if mask_tile is not None and mask_types:
+        masks = extract_chips(jnp.asarray(mask_tile), coords, chip_size)
+        chips = apply_mask(chips, masks, no_data_value, data_source,
+                           mask_types, masking_strategy)
+
+    # Per-chip padded point tensors (host side; cheap).
+    p_rc = np.zeros((n, max_points_per_chip, 2), np.int32)
+    p_lab = np.zeros((n, max_points_per_chip), np.float32)
+    p_valid = np.zeros((n, max_points_per_chip), bool)
+    for ci in range(n):
+        sel = np.nonzero(point_chip_idx == ci)[0][:max_points_per_chip]
+        k = len(sel)
+        x0 = chip_coords[ci, 0] * chip_size
+        y0 = chip_coords[ci, 1] * chip_size
+        p_rc[ci, :k, 0] = point_rc[sel, 0] - y0
+        p_rc[ci, :k, 1] = point_rc[sel, 1] - x0
+        p_lab[ci, :k] = point_labels[sel]
+        p_valid[ci, :k] = True
+
+    stamp = jax.vmap(
+        lambda rc, lab, v: stamp_segmentation(
+            rc, lab, v, chip_size, window_size, is_reg))
+    seg_maps = stamp(jnp.asarray(p_rc), jnp.asarray(p_lab), jnp.asarray(p_valid))
+    seg_maps = jax.vmap(
+        lambda c, s: mask_segmentation_map(c, s, no_data_value))(chips, seg_maps)
+
+    chip_valid = chip_has_data(chips, no_data_value)
+    seg_valid = seg_has_labels(seg_maps)
+    return (np.asarray(chips), np.asarray(seg_maps),
+            np.asarray(chip_valid), np.asarray(seg_valid))

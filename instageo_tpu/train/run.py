@@ -1,0 +1,191 @@
+"""Run CLI: ``python -m instageo_tpu.train.run mode=... train.*=...``.
+
+The reference's Hydra entry point (``instageo/model/run.py:60-246``) with the
+same mode surface — ``train``, ``eval``, ``chip_inference``, ``stats`` — and
+the same config keys, re-hosted on the framework's config system and TPU
+training stack. Seed 1042 matches the reference (run.py:50-53); determinism
+comes from jax's stateless PRNG rather than cudnn flags.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from datetime import datetime
+from functools import partial
+from typing import Any, List, Optional
+
+import numpy as np
+
+from instageo_tpu.configs.config import (
+    check_required_flags,
+    get_augmentations,
+    load_config_from_argv,
+    save_config,
+)
+
+log = logging.getLogger("instageo_tpu.run")
+
+SEED = 1042
+
+
+def _make_dataset(filepath: str, cfg: Any, preprocess_func, include_filenames=False):
+    from instageo_tpu.data.dataloader import InstaGeoDataset
+
+    return InstaGeoDataset(
+        filename=filepath,
+        input_root=cfg.root_dir,
+        preprocess_func=preprocess_func,
+        chip_no_data_value=cfg.dataloader.get("no_data_value", -9999) or 0,
+        label_no_data_value=cfg.train.get("ignore_index", -100),
+        replace_label=(tuple(cfg.dataloader.replace_label)
+                       if cfg.dataloader.get("replace_label") else None),
+        reduce_to_zero=bool(cfg.dataloader.get("reduce_to_zero", False)),
+        constant_multiplier=float(cfg.dataloader.get("constant_multiplier", 1.0)),
+        bands=cfg.dataloader.get("bands"),
+        include_filenames=include_filenames,
+    )
+
+
+def _train_preprocess(cfg: Any, augment: bool = True, stats_mode: bool = False):
+    from instageo_tpu.data.dataloader import process_and_augment
+
+    mean = [0.0] * len(cfg.dataloader.mean) if stats_mode else list(cfg.dataloader.mean)
+    std = [1.0] * len(cfg.dataloader.std) if stats_mode else list(cfg.dataloader.std)
+    return partial(
+        process_and_augment,
+        mean=mean,
+        std=std,
+        temporal_size=int(cfg.dataloader.get("temporal_dim", 1)),
+        im_size=int(cfg.dataloader.get("img_size", 224)),
+        label_no_data_value=cfg.train.get("ignore_index", -100),
+        chip_no_data_value=cfg.dataloader.get("no_data_value", -9999) or 0,
+        max_pixel_value=float(cfg.dataloader.get("max_pixel_value", 10000)),
+        augmentations=get_augmentations(cfg) if (augment and not stats_mode) else None,
+    )
+
+
+def _run_dir(cfg: Any) -> str:
+    run_dir = cfg.get("run_dir") or os.path.join(
+        "outputs", datetime.now().strftime("%Y-%m-%d/%H-%M-%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    return run_dir
+
+
+def main(argv: Optional[List[str]] = None) -> Any:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    cfg = load_config_from_argv(argv if argv is not None else sys.argv[1:])
+    log.info("Resolved config:\n%s", cfg.to_yaml())
+    start_time = time.time()
+    mode = cfg.get("mode", "train")
+
+    from instageo_tpu.data.dataloader import (
+        create_dataloader,
+        eval_collate,
+        infer_collate,
+        process_test,
+    )
+
+    batch_size = int(cfg.train.get("batch_size", 8))
+
+    if mode == "stats":
+        from instageo_tpu.train.stats import compute_stats
+
+        check_required_flags(["root_dir", "train_filepath"], cfg)
+        ds = _make_dataset(cfg.train_filepath, cfg, _train_preprocess(cfg, stats_mode=True))
+        loader = create_dataloader(ds, batch_size, shuffle=True,
+                                   num_workers=int(cfg.dataloader.get("num_workers", 1)))
+        mean, std, class_weights = compute_stats(loader, cfg.get("is_reg_task", False))
+        print(json.dumps({"mean": mean, "std": std, "class_weights": class_weights}))
+        return {"mean": mean, "std": std, "class_weights": class_weights}
+
+    from instageo_tpu.parallel.mesh import mesh_from_config
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    model, variables = create_model(cfg, seed=SEED)
+    mesh = mesh_from_config(cfg.get("tpu"))
+
+    if mode == "train":
+        check_required_flags(["root_dir", "train_filepath", "valid_filepath"], cfg)
+        from instageo_tpu.train.checkpointing import BestCheckpointer
+
+        run_dir = _run_dir(cfg)
+        save_config(cfg, run_dir)
+        train_ds = _make_dataset(cfg.train_filepath, cfg, _train_preprocess(cfg))
+        val_ds = _make_dataset(cfg.valid_filepath, cfg,
+                               _train_preprocess(cfg, augment=False))
+        nw = int(cfg.dataloader.get("num_workers", 1))
+        train_loader = create_dataloader(train_ds, batch_size, shuffle=True,
+                                         num_workers=nw)
+        val_loader = create_dataloader(val_ds, batch_size, num_workers=nw)
+
+        teacher = None
+        if cfg.train.get("distillation") and cfg.train.get("teacher_ckpt_path"):
+            from instageo_tpu.train.factory import build_model, load_finetuned
+
+            t_model = build_model(cfg)
+            t_vars = load_finetuned(cfg.train.teacher_ckpt_path, t_model, cfg,
+                                    init_vars=variables)
+            teacher = (t_model, t_vars)
+
+        trainer = Trainer(cfg, model, variables, mesh=mesh, teacher=teacher,
+                          steps_per_epoch=max(1, len(train_loader)))
+        ckpt = BestCheckpointer(run_dir)
+        history = trainer.fit(lambda: iter(train_loader), lambda: iter(val_loader),
+                              checkpointer=ckpt, seed=SEED)
+        duration = time.time() - start_time
+        log.info("Training completed in %.1fs; best %s; checkpoint: %s",
+                 duration, trainer.best_metric, ckpt.path)
+        print(json.dumps({k: v for k, v in history.items()
+                          if isinstance(v, (int, float))}))
+        return history
+
+    if mode == "eval":
+        check_required_flags(["root_dir", "test_filepath", "checkpoint_path"], cfg)
+        test_pre = partial(
+            process_test,
+            mean=list(cfg.dataloader.mean),
+            std=list(cfg.dataloader.std),
+            temporal_size=int(cfg.dataloader.get("temporal_dim", 1)),
+            img_size=int(cfg.test.get("img_size", 512)),
+            crop_size=int(cfg.test.get("crop_size", 224)),
+            stride=int(cfg.test.get("stride", 224)),
+        )
+        test_ds = _make_dataset(cfg.test_filepath, cfg, test_pre)
+        test_loader = create_dataloader(test_ds, batch_size,
+                                        collate_fn=eval_collate)
+        trainer = Trainer(cfg, model, variables, mesh=mesh)
+        # crops-per-image × batch composes the effective eval batch
+        crops = max(1, (int(cfg.test.get("img_size", 512))
+                        - int(cfg.test.get("crop_size", 224)))
+                    // int(cfg.test.get("stride", 224)) + 1) ** 2
+        metrics = trainer.test(lambda: iter(test_loader),
+                               batch_size=batch_size * crops)
+        log.info("Evaluation took %.1fs", time.time() - start_time)
+        print(json.dumps(metrics))
+        return metrics
+
+    if mode == "chip_inference":
+        check_required_flags(["root_dir", "test_filepath", "checkpoint_path"], cfg)
+        from instageo_tpu.serve.infer import chip_inference
+
+        out_dir = os.path.join(cfg.root_dir, "predictions")
+        infer_pre = _train_preprocess(cfg, augment=False)
+        ds = _make_dataset(cfg.test_filepath, cfg, infer_pre, include_filenames=True)
+        loader = create_dataloader(ds, batch_size, collate_fn=infer_collate)
+        n, dt = chip_inference(loader, out_dir, model, variables,
+                               is_reg_task=bool(cfg.get("is_reg_task", False)))
+        print(json.dumps({"chips": n, "seconds": dt,
+                          "chips_per_sec": n / dt if dt else 0.0}))
+        return n
+
+    raise ValueError(f"Unknown mode {mode!r}")
+
+
+if __name__ == "__main__":
+    main()

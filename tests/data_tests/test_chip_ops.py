@@ -1,0 +1,129 @@
+"""Device chip-math tests: mask decode, extraction, seg-map stamping."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from instageo_tpu.data.geotiff import Affine
+from instageo_tpu.data.pipeline import get_chip_coords, point_rowcol
+from instageo_tpu.ops.chip_ops import (
+    apply_mask,
+    chip_has_data,
+    decode_fmask_value,
+    decode_scl_mask,
+    extract_chips,
+    mask_segmentation_map,
+    process_tile_chips,
+    seg_has_labels,
+    stamp_segmentation,
+)
+
+
+def test_decode_fmask_bits():
+    # value with bits: cloud(1)=1, shadow(3)=1 -> 0b1010 = 10
+    m = jnp.asarray([[10, 0, 2]])
+    np.testing.assert_array_equal(np.asarray(decode_fmask_value(m, 1)), [[1, 0, 1]])
+    np.testing.assert_array_equal(np.asarray(decode_fmask_value(m, 3)), [[1, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(decode_fmask_value(m, 5)), [[0, 0, 0]])
+
+
+def test_decode_scl_classes():
+    m = jnp.asarray([[8, 9, 6, 4]])
+    np.testing.assert_array_equal(
+        np.asarray(decode_scl_mask(m, [8, 9])), [[1, 1, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(decode_scl_mask(m, [6])), [[0, 0, 1, 0]])
+
+
+def test_extract_chips():
+    tile = jnp.arange(2 * 8 * 8).reshape(2, 8, 8)
+    coords = jnp.asarray([[0, 0], [1, 1]])
+    chips = extract_chips(tile, coords, 4)
+    assert chips.shape == (2, 2, 4, 4)
+    np.testing.assert_array_equal(np.asarray(chips[0, 0]),
+                                  np.asarray(tile[0, :4, :4]))
+    np.testing.assert_array_equal(np.asarray(chips[1, 0]),
+                                  np.asarray(tile[0, 4:, 4:]))
+
+
+def test_apply_mask_each_vs_any():
+    # 2 timesteps x 2 bands, 2x2 chips; cloud bit set in t0 only.
+    chips = jnp.ones((1, 4, 2, 2)) * 7
+    masks = jnp.zeros((1, 2, 2, 2), jnp.int32)
+    masks = masks.at[0, 0, 0, 0].set(2)  # cloud bit (pos 1) at t0 pixel (0,0)
+    out_each = np.asarray(apply_mask(chips, masks, -9, "HLS", ["cloud"], "each"))
+    # bands of t0 masked at (0,0), t1 untouched
+    assert out_each[0, 0, 0, 0] == -9 and out_each[0, 1, 0, 0] == -9
+    assert out_each[0, 2, 0, 0] == 7 and out_each[0, 3, 0, 0] == 7
+    out_any = np.asarray(apply_mask(chips, masks, -9, "HLS", ["cloud"], "any"))
+    assert (out_any[0, :, 0, 0] == -9).all()
+
+
+def test_stamp_segmentation_window_and_clip():
+    rc = jnp.asarray([[0, 0], [3, 3]])
+    labels = jnp.asarray([1.0, 2.0])
+    valid = jnp.asarray([True, True])
+    seg = np.asarray(stamp_segmentation(rc, labels, valid, 8, window_size=1))
+    assert seg[0, 0] == 1 and seg[1, 1] == 1  # window around (0,0) clipped
+    assert seg[3, 3] == 2 and seg[2, 2] == 2 and seg[4, 4] == 2
+    assert seg[6, 6] == -1  # untouched
+
+    # Invalid points write nothing.
+    seg2 = np.asarray(stamp_segmentation(
+        rc, labels, jnp.asarray([True, False]), 8, window_size=0))
+    assert seg2[3, 3] == -1 and seg2[0, 0] == 1
+
+
+def test_mask_segmentation_map_strategies():
+    chip = jnp.asarray([[[1.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]])
+    seg = jnp.asarray([[5, 5], [5, 5]], jnp.int16)
+    out_any = np.asarray(mask_segmentation_map(chip, seg, 0.0, "any"))
+    np.testing.assert_array_equal(out_any, [[-1, -1], [5, 5]])
+    out_each = np.asarray(mask_segmentation_map(chip, seg, 0.0, "each"))
+    np.testing.assert_array_equal(out_each, [[5, -1], [5, 5]])
+
+
+def test_validity_reductions():
+    chips = jnp.stack([jnp.zeros((2, 2, 2)), jnp.ones((2, 2, 2))])
+    np.testing.assert_array_equal(np.asarray(chip_has_data(chips, 0.0)),
+                                  [False, True])
+    segs = jnp.stack([jnp.full((2, 2), -1), jnp.asarray([[-1, 3], [-1, -1]])])
+    np.testing.assert_array_equal(np.asarray(seg_has_labels(segs)), [False, True])
+
+
+def test_chip_coords_and_rowcol():
+    tr = Affine.from_origin(1000.0, 2000.0, 10.0, 10.0)
+    xs = np.asarray([1005.0, 1325.0])
+    ys = np.asarray([1995.0, 1675.0])
+    coords = get_chip_coords(xs, ys, tr, chip_size=16)
+    # point 1 -> pixel (0,0) -> chip (0,0); point 2 -> col 32, row 32 -> chip (2,2)
+    np.testing.assert_array_equal(coords, [[0, 0], [2, 2]])
+    rc = point_rowcol(xs, ys, tr)
+    np.testing.assert_array_equal(rc, [[0, 0], [32, 32]])
+
+
+def test_process_tile_chips_end_to_end():
+    rng = np.random.default_rng(0)
+    tile = rng.integers(1, 100, size=(6, 16, 16)).astype(np.float32)
+    masks = np.zeros((1, 16, 16), np.int32)
+    masks[0, 0, 0] = 2  # cloud at pixel (0,0)
+    chip_coords = np.asarray([[0, 0], [1, 1]], np.int32)
+    point_rc = np.asarray([[2, 3], [10, 12]], np.int64)  # (row, col)
+    labels = np.asarray([1.0, 2.0], np.float32)
+    owner = np.asarray([0, 1])
+
+    chips, segs, cv, sv = process_tile_chips(
+        tile, masks, chip_coords, point_rc, labels, owner,
+        chip_size=8, no_data_value=0.0, data_source="HLS",
+        mask_types=["cloud"], masking_strategy="any", window_size=0,
+    )
+    assert chips.shape == (2, 6, 8, 8)
+    assert segs.shape == (2, 8, 8)
+    assert cv.all() and sv.all()
+    # cloud-masked pixel zeroed in chip 0
+    assert (chips[0, :, 0, 0] == 0).all()
+    # labels stamped relative to chip origin
+    assert segs[0][2, 3] == 1
+    assert segs[1][10 - 8, 12 - 8] == 2
+    # seg pixel under cloud is invalidated
+    assert segs[0][0, 0] == -1

@@ -1,0 +1,92 @@
+"""End-to-end CLI tests: stats → train → eval → chip_inference on real chips."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from instageo_tpu.data.geotiff import Affine, GeoTiffReader, write_geotiff
+from instageo_tpu.train.run import main as run_main
+
+
+@pytest.fixture(scope="module")
+def chip_dir(tmp_path_factory):
+    """A tiny on-disk dataset: 8 chips (6 bands, 32px) + labels."""
+    root = tmp_path_factory.mktemp("chips")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        arr = rng.integers(1, 10000, size=(6, 32, 32)).astype(np.uint16)
+        sign = rng.choice([0, 1], size=(2, 2))
+        lab = np.repeat(np.repeat(sign, 16, axis=0), 16, axis=1).astype(np.int16)
+        arr[0] = np.where(lab > 0, 8000, 1000)
+        tr = Affine.from_origin(499980 + i * 960, 4100040, 30, 30)
+        write_geotiff(str(root / f"chip_{i}.tif"), arr, transform=tr, crs=32633,
+                      nodata=0)
+        write_geotiff(str(root / f"seg_map_{i}.tif"), lab[None], transform=tr,
+                      crs=32633, nodata=-1)
+        rows.append({"Input": f"chip_{i}.tif", "Label": f"seg_map_{i}.tif"})
+    pd.DataFrame(rows).to_csv(root / "train.csv", index=False)
+    return root
+
+
+def _common_overrides(root, run_dir):
+    return [
+        f"root_dir={root}",
+        f"train_filepath={root / 'train.csv'}",
+        f"valid_filepath={root / 'train.csv'}",
+        f"test_filepath={root / 'train.csv'}",
+        f"run_dir={run_dir}",
+        "model.model_name=prithvi_eo_tiny",
+        "model.load_pretrained_weights=False",
+        "dataloader.img_size=32",
+        "dataloader.bands=[0,1,2,3,4,5]",
+        "dataloader.no_data_value=0",
+        "dataloader.mean=[5000,5000,5000,5000,5000,5000]",
+        "dataloader.std=[3000,3000,3000,3000,3000,3000]",
+        "train.ignore_index=-1",
+        "train.batch_size=8",
+        "train.num_epochs=3",
+        "train.learning_rate=0.002",
+        "test.img_size=32", "test.crop_size=32", "test.stride=32",
+        "tpu.precision=f32",
+    ]
+
+
+def test_stats_mode(chip_dir, tmp_path, capsys):
+    out = run_main(["mode=stats"] + _common_overrides(chip_dir, tmp_path))
+    assert len(out["mean"]) == 6 and len(out["std"]) == 6
+    assert out["mean"][0] > 0
+    assert out["class_weights"] is not None and len(out["class_weights"]) == 2
+    printed = capsys.readouterr().out
+    assert json.loads(printed.strip().splitlines()[-1])["mean"] == out["mean"]
+
+
+def test_train_eval_infer_cycle(chip_dir, tmp_path):
+    run_dir = tmp_path / "run"
+    hist = run_main(["mode=train"] + _common_overrides(chip_dir, run_dir))
+    assert "val_IoU" in hist
+    ckpt = run_dir / "instageo_best_checkpoint"
+    assert ckpt.exists()
+    assert (run_dir / ".hydra" / "config.yaml").exists()
+
+    metrics = run_main(
+        ["mode=eval", f"checkpoint_path={ckpt}"]
+        + _common_overrides(chip_dir, tmp_path / "eval"))
+    assert "test_IoU" in metrics and "test_roc_auc" in metrics
+    assert metrics["test_Acc"] > 0.6  # separable toy task after 2 epochs
+
+    n = run_main(
+        ["mode=chip_inference", f"checkpoint_path={ckpt}"]
+        + _common_overrides(chip_dir, tmp_path / "infer"))
+    assert n == 8
+    preds = sorted((chip_dir / "predictions").glob("prediction_*.tif"))
+    assert len(preds) == 8
+    with GeoTiffReader(str(preds[0])) as r:
+        assert r.count == 1
+        assert r.dtypes[0] == "int8"
+        assert r.crs == 32633  # georeferencing carried over
+        arr = r.read(1)
+    assert set(np.unique(arr)) <= {0, 1}
