@@ -461,9 +461,15 @@ class TiffIFD:
 class GeoTiffReader:
     """Random-access GeoTIFF reader with a rasterio-like surface."""
 
-    def __init__(self, path: str) -> None:
-        self.path = path
-        self.fp = open(path, "rb")
+    def __init__(self, path, fp: Optional[BinaryIO] = None) -> None:
+        """Open a GeoTIFF from a filesystem path or a seekable file object."""
+        self.path = path if isinstance(path, str) else getattr(path, "url", "<fp>")
+        if fp is not None:
+            self.fp = fp
+        elif isinstance(path, str):
+            self.fp = open(path, "rb")
+        else:
+            self.fp = path
         head = self.fp.read(8)
         if head[:2] == b"II":
             self.endian = "<"

@@ -105,6 +105,47 @@ def get_tile_info(
     return tile_info, tile_queries
 
 
+def get_raster_tile_info(
+    data: pd.DataFrame,
+    num_steps: int = 3,
+    temporal_step: int = 10,
+    temporal_tolerance: int = 5,
+    temporal_tolerance_minutes: int = 0,
+) -> Tuple[pd.DataFrame, List[Tuple[str, List[str]]]]:
+    """Raster-grid variant of :func:`get_tile_info` over ``bbox_4326`` rows.
+
+    Reference ``get_raster_tile_info`` (stac_utils.py:205-274): per-tile
+    union bbox instead of point extents.
+    """
+    push_eod = "time" not in data.columns
+    df = data[["mgrs_tile_id", "input_features_date", "bbox_4326"]].reset_index(drop=True)
+    tile_queries: List[Tuple[str, List[str]]] = []
+    rows: List[List[Any]] = []
+    for _, (tile_id, date, bbox) in df.iterrows():
+        history = []
+        for i in range(num_steps):
+            curr = pd.to_datetime(date) - pd.Timedelta(days=temporal_step * i)
+            history.append(curr.strftime("%Y-%m-%dT%H:%M:%S"))
+            rows.append([tile_id, curr, bbox])
+        tile_queries.append((tile_id, history))
+    tmp = pd.DataFrame(rows, columns=["tile_id", "date", "bbox"])
+    agg = tmp.groupby("tile_id").agg(
+        min_date=("date", "min"), max_date=("date", "max"),
+        lon_min=("bbox", lambda b: min(v[0] for v in b)),
+        lat_min=("bbox", lambda b: min(v[1] for v in b)),
+        lon_max=("bbox", lambda b: max(v[2] for v in b)),
+        lat_max=("bbox", lambda b: max(v[3] for v in b)),
+    ).reset_index()
+    tol = temporal_tolerance + temporal_tolerance_minutes / (24 * 60)
+    agg["min_date"] -= pd.Timedelta(days=tol)
+    agg["max_date"] += pd.Timedelta(days=tol)
+    agg["min_date"] = agg["min_date"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+    fmt = "%Y-%m-%dT23:59:59" if push_eod else "%Y-%m-%dT%H:%M:%S"
+    agg["max_date"] = agg["max_date"].dt.strftime(fmt)
+    return agg[["tile_id", "min_date", "max_date",
+                "lon_min", "lon_max", "lat_min", "lat_max"]], tile_queries
+
+
 def get_chip_coords(xs: np.ndarray, ys: np.ndarray, transform: Affine,
                     chip_size: int) -> np.ndarray:
     """Unique (x, y) chip-grid indices for points (reference :424-443)."""
@@ -332,3 +373,137 @@ class BaseDataPipeline(ABC):
     @property
     def no_data_value(self) -> float:
         return getattr(NO_DATA_VALUES, self.data_source, 0)
+
+
+class BaseRasterPipeline(BaseDataPipeline):
+    """Raster/bbox-grid pipeline: fixed chip grid, labels from rasters.
+
+    Equivalent of the reference ``BaseRasterDataPipeline``
+    (data_pipeline.py:478-653): each observation row carries a chip bbox
+    (``bbox`` column) and a ``label_filename``; chips are sliced to exactly
+    ``chip_size`` from the loaded tile, QA-masked, and written uint16; with
+    ``is_bbox_feature`` (the web-backend path) no labels are produced.
+    """
+
+    def __init__(self, *args, raster_path: str = "", qa_check: bool = True,
+                 is_bbox_feature: bool = False, **kw) -> None:
+        super().__init__(*args, **kw)
+        self.raster_path = raster_path
+        self.qa_check = qa_check
+        self.is_bbox_feature = is_bbox_feature
+
+    def process_row(self, row: Dict[str, Any], tile_loaded: Tuple) -> Optional[
+            Tuple[str, Optional[str]]]:
+        """One grid chip: slice -> mask -> (optional) label -> write."""
+        from instageo_tpu.data.geo_utils import slice_raster_window
+        from instageo_tpu.data.geotiff import GeoTiffReader
+        from instageo_tpu.ops.chip_ops import (
+            apply_mask as apply_mask_jnp,
+            mask_segmentation_map as mask_seg_jnp,
+        )
+        import jax.numpy as jnp
+
+        tile_array, mask_array, transform, crs, _tile_id = tile_loaded
+        label_filename = (
+            f"{os.path.splitext(row['label_filename'])[0]}_{row['mgrs_tile_id']}")
+        chip_filename = label_filename.replace("mask", "merged").replace(
+            "label", "chip")
+        chip_path = os.path.join(self.output_directory, "chips",
+                                 f"{chip_filename}.tif")
+        label_path = os.path.join(self.output_directory, "seg_maps",
+                                  f"{label_filename}.tif")
+        if os.path.exists(chip_path) and (self.is_bbox_feature
+                                          or os.path.exists(label_path)):
+            return chip_path, (None if self.is_bbox_feature else label_path)
+
+        sliced = slice_raster_window(
+            tile_array, transform, row["bbox"], bbox_crs=self.src_crs,
+            raster_crs=crs, chip_size=self.chip_size)
+        if sliced is None:
+            return None
+        chip, chip_tr = sliced
+        if chip.shape[-1] < self.chip_size or chip.shape[-2] < self.chip_size:
+            return None
+
+        if mask_array is not None and self.mask_types:
+            msliced = slice_raster_window(
+                mask_array, transform, row["bbox"], bbox_crs=self.src_crs,
+                raster_crs=crs, chip_size=self.chip_size)
+            if msliced is not None:
+                chip = np.asarray(apply_mask_jnp(
+                    jnp.asarray(chip.astype(np.float32))[None],
+                    jnp.asarray(msliced[0])[None],
+                    self.no_data_value, self.data_source,
+                    self.mask_types, self.masking_strategy)[0])
+
+        chip = np.clip(chip, 0, 10000)
+
+        seg_map = None
+        if not self.is_bbox_feature:
+            with GeoTiffReader(os.path.join(self.raster_path,
+                                            row["label_filename"])) as r:
+                seg_map = r.read(1)
+            if seg_map.shape != chip.shape[-2:]:
+                log.warning("Skipping %s due to invalid shapes", label_filename)
+                return None
+            if self.qa_check:
+                if not (chip != self.no_data_value).any():
+                    return None
+                seg_map = np.asarray(mask_seg_jnp(
+                    jnp.asarray(chip.astype(np.float32)),
+                    jnp.asarray(seg_map.astype(np.float32)),
+                    self.no_data_value, self.masking_strategy))
+                if not (seg_map != NO_DATA_VALUES.SEG_MAP).any():
+                    return None
+
+        chip_u16 = np.where(np.isnan(chip), self.no_data_value, chip).astype(np.uint16)
+        write_geotiff(chip_path, chip_u16, transform=chip_tr, crs=crs,
+                      nodata=self.no_data_value)
+        if seg_map is not None:
+            seg_dtype = np.int8 if self.task_type == "seg" else np.float32
+            seg_out = np.where(np.isnan(seg_map), NO_DATA_VALUES.SEG_MAP,
+                               seg_map).astype(seg_dtype)
+            write_geotiff(label_path, seg_out[None], transform=chip_tr, crs=crs,
+                          nodata=NO_DATA_VALUES.SEG_MAP)
+            return chip_path, label_path
+        return chip_path, None
+
+    def run(self, dataset: Dict[str, Any], obsv_records: pd.DataFrame
+            ) -> pd.DataFrame:
+        """Grid-record driven run (reference :595-653)."""
+        os.makedirs(os.path.join(self.output_directory, "chips"), exist_ok=True)
+        os.makedirs(os.path.join(self.output_directory, "seg_maps"), exist_ok=True)
+
+        tile_cache: Dict[str, Optional[Tuple]] = {}
+
+        def get_tile(key: str) -> Optional[Tuple]:
+            if key not in tile_cache:
+                tile_cache[key] = self.load_tile(key, dataset)
+            return tile_cache[key]
+
+        chip_paths: List[str] = []
+        label_paths: List[Optional[str]] = []
+        batch = DATA_PIPELINE_SETTINGS.BATCH_SIZE
+
+        def one(row: pd.Series) -> Optional[Tuple[str, Optional[str]]]:
+            loaded = get_tile(row["stac_items_str"])
+            if loaded is None:
+                return None
+            return self.process_row(row.to_dict(), loaded)
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for i in range(0, len(obsv_records), batch):
+                rows = [r for _, r in obsv_records.iloc[i : i + batch].iterrows()]
+                for res in pool.map(one, rows):
+                    if res is not None:
+                        chip_paths.append(res[0])
+                        label_paths.append(res[1])
+
+        if self.is_bbox_feature:
+            df = pd.DataFrame({"Input": chip_paths})
+        else:
+            df = pd.DataFrame({"Input": chip_paths, "Label": label_paths})
+        out = os.path.join(self.output_directory,
+                           f"{self.data_source.lower()}_raster_dataset.csv")
+        df.to_csv(out)
+        return df
