@@ -1,0 +1,85 @@
+"""Model server: persistent jitted inference engine (Ray Serve replacement).
+
+The reference serves batched inference through a detached Ray Serve
+deployment (``instageo/model/model_server.py``); on TPU a separate actor
+boundary only adds serialization cost, so the server here is an in-process
+engine: the model compiles once, stays resident on device, and requests
+stream through a double-buffered host→device queue. The public surface
+mirrors the Ray deployment's (``evaluate``, ``chip_inference``,
+``health_check``, ``get_device_info``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+
+from instageo_tpu.parallel.mesh import make_mesh
+from instageo_tpu.serve.infer import chip_inference as run_chip_inference
+from instageo_tpu.train.factory import create_model
+from instageo_tpu.train.trainer import Trainer
+
+log = logging.getLogger(__name__)
+
+
+class ModelServer:
+    """Loads a model per config and serves eval/inference requests.
+
+    Reference surface: model_server.py:48-154.
+    """
+
+    def __init__(self, cfg: Any) -> None:
+        self.cfg = cfg
+        self.model, self.variables = create_model(cfg)
+        self.mesh = make_mesh()
+        self._trainer: Optional[Trainer] = None
+        self.start_time = time.time()
+        self.requests_served = 0
+        log.info("ModelServer ready on %s", jax.devices()[0].platform)
+
+    def _get_trainer(self) -> Trainer:
+        if self._trainer is None:
+            self._trainer = Trainer(self.cfg, self.model, self.variables,
+                                    mesh=self.mesh)
+        return self._trainer
+
+    def evaluate(self, dataloader_factory, batch_size: Optional[int] = None
+                 ) -> Dict[str, float]:
+        """Full test-set evaluation (reference model_server.py:72-89)."""
+        t0 = time.time()
+        metrics = self._get_trainer().test(dataloader_factory, batch_size)
+        metrics["inference_time"] = time.time() - t0
+        self.requests_served += 1
+        return metrics
+
+    def chip_inference(self, dataloader: Iterable, out_dir: str) -> Dict[str, Any]:
+        """Batched chip inference with threaded writes (reference :91-127)."""
+        n, dt = run_chip_inference(
+            dataloader, out_dir, self.model, self.variables,
+            is_reg_task=bool(self.cfg.get("is_reg_task", False)))
+        self.requests_served += 1
+        return {"num_chips": n, "inference_time": dt,
+                "chips_per_sec": n / dt if dt else 0.0}
+
+    def health_check(self) -> Dict[str, Any]:
+        """Reference model_server.py:129-141."""
+        return {
+            "status": "healthy",
+            "uptime_s": time.time() - self.start_time,
+            "requests_served": self.requests_served,
+            "device": self.get_device_info(),
+        }
+
+    def get_device_info(self) -> Dict[str, Any]:
+        """Reference model_server.py:143-154."""
+        dev = jax.devices()[0]
+        return {
+            "platform": dev.platform,
+            "device_kind": getattr(dev, "device_kind", str(dev)),
+            "num_devices": jax.device_count(),
+            "mesh_shape": dict(zip(self.mesh.axis_names,
+                                   self.mesh.devices.shape)),
+        }

@@ -229,7 +229,12 @@ class Trainer:
 
     def _prepare(self, x, y, batch_size):
         fill = self.ignore_index if not self.is_reg else float(self.ignore_index)
-        x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), batch_size, fill)
+        # Static shapes for jit + divisibility for the data-parallel mesh:
+        # pad up to the next multiple of the mesh size >= batch_size.
+        n_dev = int(self.mesh.devices.size)
+        target = max(batch_size, int(np.asarray(x).shape[0]))
+        target = ((target + n_dev - 1) // n_dev) * n_dev
+        x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), target, fill)
         return self._shard(x, y)
 
     def run_train_epoch(self, batches: Iterable, rng: jax.Array,

@@ -1,0 +1,146 @@
+"""Serving-layer tests: registry, model server, evaluation pipeline."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from instageo_tpu.configs.config import load_config
+from instageo_tpu.data.geotiff import Affine, GeoTiffReader, write_geotiff
+from instageo_tpu.serve.pipeline import EvaluationPipeline
+from instageo_tpu.serve.registry import ModelRegistry
+
+
+@pytest.fixture(scope="module")
+def trained_world(tmp_path_factory):
+    """Chips on disk + a trained tiny checkpoint (via the train CLI)."""
+    root = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        arr = rng.integers(1, 10000, size=(6, 32, 32)).astype(np.uint16)
+        lab = rng.integers(0, 2, size=(32, 32)).astype(np.int16)
+        tr = Affine.from_origin(499980 + i * 960, 4100040, 30, 30)
+        write_geotiff(str(root / f"chip_{i}.tif"), arr, transform=tr, crs=32633,
+                      nodata=0)
+        write_geotiff(str(root / f"seg_map_{i}.tif"), lab[None], transform=tr,
+                      crs=32633, nodata=-1)
+        rows.append({"Input": f"chip_{i}.tif", "Label": f"seg_map_{i}.tif"})
+    pd.DataFrame(rows).to_csv(root / "data.csv", index=False)
+
+    from instageo_tpu.train.run import main as run_main
+
+    run_dir = root / "run"
+    run_main([
+        "mode=train",
+        f"root_dir={root}", f"train_filepath={root / 'data.csv'}",
+        f"valid_filepath={root / 'data.csv'}", f"run_dir={run_dir}",
+        "model.model_name=prithvi_eo_tiny", "model.load_pretrained_weights=False",
+        "dataloader.img_size=32", "dataloader.bands=[0,1,2,3,4,5]",
+        "dataloader.mean=[5000,5000,5000,5000,5000,5000]",
+        "dataloader.std=[3000,3000,3000,3000,3000,3000]",
+        "dataloader.no_data_value=0",
+        "train.ignore_index=-1", "train.batch_size=4", "train.num_epochs=1",
+        "test.img_size=32", "test.crop_size=32", "test.stride=32",
+        "tpu.precision=f32",
+    ])
+    return root, run_dir / "instageo_best_checkpoint"
+
+
+def _serving_cfg(root, ckpt):
+    return load_config("config", overrides={
+        "root_dir": str(root),
+        "test_filepath": str(root / "data.csv"),
+        "checkpoint_path": str(ckpt),
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "dataloader.mean": [5000.0] * 6,
+        "dataloader.std": [3000.0] * 6,
+        "dataloader.no_data_value": 0,
+        "train.ignore_index": -1,
+        "train.batch_size": 4,
+        "test.img_size": 32, "test.crop_size": 32, "test.stride": 32,
+        "tpu.precision": "f32",
+    })
+
+
+def test_pipeline_validation_errors(trained_world):
+    root, ckpt = trained_world
+    cfg = _serving_cfg(root, ckpt)
+    cfg["checkpoint_path"] = None
+    with pytest.raises(ValueError, match="Missing required"):
+        EvaluationPipeline(cfg)
+    cfg["checkpoint_path"] = "/nonexistent"
+    with pytest.raises(FileNotFoundError):
+        EvaluationPipeline(cfg)
+
+
+def test_pipeline_evaluate_and_chip_inference(trained_world, tmp_path):
+    root, ckpt = trained_world
+    pipe = EvaluationPipeline(_serving_cfg(root, ckpt))
+    metrics = pipe.evaluate()
+    assert "test_IoU" in metrics and "inference_time" in metrics
+
+    out = pipe.chip_inference(str(tmp_path / "preds"))
+    assert out["num_chips"] == 4
+    preds = sorted((tmp_path / "preds").glob("prediction_*.tif"))
+    assert len(preds) == 4
+    with GeoTiffReader(str(preds[0])) as r:
+        assert r.count == 1 and r.dtypes[0] == "int8"
+
+    health = pipe.server.health_check()
+    assert health["status"] == "healthy"
+    assert health["requests_served"] == 2
+    info = pipe.server.get_device_info()
+    assert info["num_devices"] == 8  # CPU mesh in tests
+    pipe.cleanup()
+    assert pipe.server is None
+
+
+def test_model_registry(tmp_path):
+    registry_yaml = {
+        "models": {
+            "flood_mapping": {
+                "name": "Flood Mapping",
+                "description": "Sen1Floods11 fine-tune",
+                "data_source": "HLS",
+                "chip_size": 224,
+                "num_steps": 1,
+                "default_size": "base",
+                "sizes": {
+                    "base": {"model_name": "prithvi_eo_v1_100"},
+                    "large": {"model_name": "prithvi_eo_v2_300"},
+                },
+            }
+        }
+    }
+    reg_path = tmp_path / "models_registry.yaml"
+    with open(reg_path, "w") as f:
+        yaml.safe_dump(registry_yaml, f)
+
+    models_path = tmp_path / "models"
+    cfg_dir = models_path / "flood_mapping" / "base" / ".hydra"
+    os.makedirs(cfg_dir)
+    with open(cfg_dir / "config.yaml", "w") as f:
+        yaml.safe_dump({"model": {"model_name": "prithvi_eo_v1_100"},
+                        "train": {"batch_size": 16}}, f)
+
+    reg = ModelRegistry(str(reg_path), str(models_path))
+    models = reg.get_available_models()
+    assert len(models) == 1 and models[0]["model_key"] == "flood_mapping"
+
+    meta = reg.get_model_metadata_for_size("flood_mapping")
+    assert meta["size"] == "base"
+    assert meta["model_name"] == "prithvi_eo_v1_100"
+    meta_l = reg.get_model_metadata_for_size("flood_mapping", "large")
+    assert meta_l["model_name"] == "prithvi_eo_v2_300"
+
+    cfg = reg.get_model_config("flood_mapping", "base")
+    assert cfg.train.batch_size == 16
+
+    with pytest.raises(KeyError):
+        reg.get_model_metadata("nope")
