@@ -136,9 +136,45 @@ def main(argv: Optional[List[str]] = None) -> Any:
         trainer = Trainer(cfg, model, variables, mesh=mesh, teacher=teacher,
                           steps_per_epoch=max(1, len(train_loader)))
         ckpt = BestCheckpointer(run_dir)
+
+        from instageo_tpu.utils.experiment_logger import init_experiment_logger
+        from instageo_tpu.utils.telemetry import (
+            EmissionsTracker,
+            count_params,
+            get_model_complexity,
+        )
+
+        exp_logger = init_experiment_logger(cfg, run_dir)
+        exp_logger.log_config(cfg)
+        tracker = EmissionsTracker(name="train", output_dir=run_dir)
+        tracker.start()
         history = trainer.fit(lambda: iter(train_loader), lambda: iter(val_loader),
-                              checkpointer=ckpt, seed=SEED)
+                              checkpointer=ckpt, seed=SEED,
+                              log_fn=lambda m: exp_logger.log_metrics(
+                                  m, step=m.get("epoch")))
+        carbon = tracker.stop()
         duration = time.time() - start_time
+        # Model complexity from XLA cost analysis (replaces ptflops logging,
+        # reference run.py:169-174 + utils.py:380-435).
+        try:
+            import jax.numpy as jnp
+
+            c = int(len(cfg.dataloader.get("bands") or [0] * 6))
+            t = int(cfg.dataloader.get("temporal_dim", 1))
+            s = int(cfg.dataloader.get("img_size", 224))
+            x = jnp.zeros((1, c, t, s, s), jnp.float32)
+            complexity = get_model_complexity(
+                lambda v, xx: model.apply(v, xx, train=False),
+                {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}, x)
+            complexity["params"] = count_params(trainer.state.params)
+            exp_logger.log_metrics({**complexity,
+                                    "train_duration_s": duration, **carbon})
+            log.info("Model complexity: %.2f GFLOPs/forward, %d params",
+                     complexity["gflops"], complexity["params"])
+        except Exception as e:
+            log.warning("Complexity logging failed: %s", e)
+        exp_logger.stop()
         log.info("Training completed in %.1fs; best %s; checkpoint: %s",
                  duration, trainer.best_metric, ckpt.path)
         print(json.dumps({k: v for k, v in history.items()

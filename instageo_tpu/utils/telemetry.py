@@ -1,0 +1,157 @@
+"""Telemetry: FLOPs accounting, energy/carbon estimation, profiling hooks.
+
+Replaces the reference's ptflops + codecarbon surface
+(``instageo/model/utils.py:318-477``) with TPU-native equivalents:
+
+* FLOPs/params come from XLA's own compiled cost analysis
+  (``jit(fn).lower(...).compile().cost_analysis()``) — the ground truth for
+  what actually runs on the MXU, not a torch-module walk;
+* energy/carbon are estimated from measured wall time × per-device board
+  power (codecarbon's method, with TPU TDPs it lacks);
+* ``jax.profiler`` trace capture replaces the absent torch profiler.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+log = logging.getLogger(__name__)
+
+# Approximate board power draw (W) per accelerator, codecarbon-style.
+DEVICE_POWER_W = {
+    "tpu v5 lite": 170.0,  # v5e
+    "tpu v4": 300.0,
+    "tpu v3": 283.0,
+    "cpu": 65.0,
+    "gpu": 300.0,
+}
+# Global grid average (kgCO2e/kWh), codecarbon world default.
+CARBON_INTENSITY = 0.475
+
+
+def get_model_complexity(fn: Callable, *args) -> Dict[str, float]:
+    """FLOPs/bytes for one call of ``fn`` from XLA cost analysis.
+
+    Replaces ptflops MACs counting (reference utils.py:380-435).
+    """
+    compiled = jax.jit(fn).lower(*args).compile()
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, list):  # older jax returns a per-computation list
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0))
+    return {
+        "flops": flops,
+        "gflops": flops / 1e9,
+        "bytes_accessed": float(cost.get("bytes accessed", 0.0)),
+    }
+
+
+def count_params(params: Any) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def _device_power() -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "cpu").lower()
+    for key, watts in DEVICE_POWER_W.items():
+        if key in kind:
+            return watts
+    return DEVICE_POWER_W.get(jax.devices()[0].platform, 100.0)
+
+
+@dataclass
+class EmissionsTracker:
+    """Wall-time × device-power energy/carbon estimator.
+
+    Reference surface: codecarbon's tracker wrapped in
+    ``CarbonTrackerCallback`` (utils.py:318-377) and around inference
+    (infer_utils.py:83-133).
+    """
+
+    name: str = "instageo"
+    output_dir: Optional[str] = None
+    _start: float = 0.0
+    results: Dict[str, float] = field(default_factory=dict)
+
+    def start(self) -> None:
+        self._start = time.time()
+
+    def stop(self) -> Dict[str, float]:
+        elapsed = time.time() - self._start
+        watts = _device_power() * jax.local_device_count()
+        energy_kwh = watts * elapsed / 3.6e6
+        self.results = {
+            "duration_s": elapsed,
+            "power_w": watts,
+            "energy_kwh": energy_kwh,
+            "emissions_kg": energy_kwh * CARBON_INTENSITY,
+        }
+        if self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            with open(os.path.join(self.output_dir,
+                                   f"{self.name}_emissions.json"), "w") as f:
+                json.dump(self.results, f)
+        return self.results
+
+    def __enter__(self) -> "EmissionsTracker":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def get_carbon_info(tracker: EmissionsTracker) -> Dict[str, float]:
+    """Reference ``get_carbon_info`` surface (utils.py:452-477)."""
+    return dict(tracker.results)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str, enabled: bool = True):
+    """jax.profiler trace capture (replaces Dask performance_report)."""
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log.info("Profiler trace written to %s", log_dir)
+
+
+class StepTimer:
+    """Lightweight per-step wall-clock timing with summary stats."""
+
+    def __init__(self) -> None:
+        self.times = []
+        self._t0: Optional[float] = None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        return dt
+
+    def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        import numpy as np
+
+        arr = np.asarray(self.times)
+        return {
+            "steps": len(arr),
+            "mean_s": float(arr.mean()),
+            "p50_s": float(np.percentile(arr, 50)),
+            "p95_s": float(np.percentile(arr, 95)),
+            "total_s": float(arr.sum()),
+        }
