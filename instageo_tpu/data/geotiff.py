@@ -730,6 +730,185 @@ def write_geotiff(
                 f.write(b"\0")
 
 
+def _serialize_ifd(
+    array: np.ndarray,
+    transform: Optional[Affine],
+    crs: Optional[int],
+    nodata: Optional[float],
+    tiled: bool,
+    tile_size: int,
+    compress: str,
+    base_offset: int,
+    is_overview: bool = False,
+) -> Tuple[bytes, bytes, List[bytes], int]:
+    """Build one IFD's (entries+ext, blocks) for multi-IFD files.
+
+    Returns (ifd_bytes_without_next, ext_bytes, blocks, data_size). The
+    caller stitches next-IFD pointers. ``base_offset`` is where this IFD
+    starts in the file.
+    """
+    s, h, w = array.shape
+    arr = np.ascontiguousarray(array.transpose(1, 2, 0))
+    dt = arr.dtype
+    if dt.byteorder == ">":
+        arr = arr.astype(dt.newbyteorder("<"))
+        dt = arr.dtype
+    sf = _DTYPE_TO_SF[dt.kind]
+    comp_id = {"none": 1, "deflate": 8, "lzw": 5}[compress]
+
+    def compress_block(block: np.ndarray) -> bytes:
+        raw = block.tobytes()
+        if comp_id == 1:
+            return raw
+        if comp_id == 8:
+            return zlib.compress(raw, 6)
+        return _encode_lzw(raw)
+
+    blocks: List[bytes] = []
+    if tiled:
+        th = tw = tile_size
+        for ty in range(math.ceil(h / th)):
+            for tx in range(math.ceil(w / tw)):
+                tile = np.zeros((th, tw, s), dt)
+                ys = min(th, h - ty * th)
+                xs = min(tw, w - tx * tw)
+                tile[:ys, :xs] = arr[ty * th : ty * th + ys,
+                                     tx * tw : tx * tw + xs]
+                blocks.append(compress_block(tile))
+    else:
+        rps = max(1, min(h, max(1, (1 << 16) // max(1, w * s * dt.itemsize))))
+        for r0 in range(0, h, rps):
+            blocks.append(compress_block(arr[r0 : r0 + rps]))
+
+    tags: List[Tuple[int, int, List]] = [
+        (T_IMAGE_WIDTH, 3, [w]),
+        (T_IMAGE_LENGTH, 3, [h]),
+        (T_BITS_PER_SAMPLE, 3, [dt.itemsize * 8] * s),
+        (T_COMPRESSION, 3, [comp_id]),
+        (T_PHOTOMETRIC, 3, [1]),
+        (T_SAMPLES_PER_PIXEL, 3, [s]),
+        (T_PLANAR_CONFIG, 3, [1]),
+        (T_SAMPLE_FORMAT, 3, [sf] * s),
+    ]
+    if is_overview:
+        tags.append((254, 4, [1]))  # NewSubfileType: reduced-resolution
+    if tiled:
+        tags += [
+            (T_TILE_WIDTH, 3, [tile_size]),
+            (T_TILE_LENGTH, 3, [tile_size]),
+            (T_TILE_OFFSETS, 4, [0] * len(blocks)),
+            (T_TILE_BYTE_COUNTS, 4, [len(b) for b in blocks]),
+        ]
+    else:
+        rps = max(1, min(h, max(1, (1 << 16) // max(1, w * s * dt.itemsize))))
+        tags += [
+            (T_ROWS_PER_STRIP, 3, [rps]),
+            (T_STRIP_OFFSETS, 4, [0] * len(blocks)),
+            (T_STRIP_BYTE_COUNTS, 4, [len(b) for b in blocks]),
+        ]
+    if transform is not None and not is_overview:
+        tags.append((T_MODEL_PIXEL_SCALE, 12, [transform.a, -transform.e, 0.0]))
+        tags.append((T_MODEL_TIEPOINT, 12,
+                     [0.0, 0.0, 0.0, transform.c, transform.f, 0.0]))
+    gk = _geokeys(crs) if not is_overview else None
+    if gk:
+        tags.append((T_GEO_KEY_DIRECTORY, 3, gk))
+    if nodata is not None and not is_overview:
+        tags.append((T_GDAL_NODATA, 2, [f"{nodata:.10g}\0"]))
+    tags.sort(key=lambda t: t[0])
+
+    n_tags = len(tags)
+    ifd_size = 2 + n_tags * 12 + 4
+    ext_offset = base_offset + ifd_size
+
+    def build(ext: bytearray, offsets: Optional[List[int]]) -> bytes:
+        entries = b""
+        for tag, typ, vals in tags:
+            if offsets is not None and tag in (T_STRIP_OFFSETS, T_TILE_OFFSETS):
+                vals = offsets
+            if typ == 2:
+                payload = vals[0].encode("latin-1")
+                cnt = len(payload)
+            else:
+                fmt = _TYPE_FMT[typ]
+                payload = struct.pack("<" + fmt * len(vals), *vals)
+                cnt = len(vals)
+            if len(payload) <= 4:
+                entries += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
+            else:
+                off = ext_offset + len(ext)
+                ext += payload
+                if len(ext) % 2:
+                    ext += b"\0"
+                entries += struct.pack("<HHII", tag, typ, cnt, off)
+        return entries
+
+    ext_probe = bytearray()
+    build(ext_probe, None)
+    data_offset = ext_offset + len(ext_probe)
+    if data_offset % 2:
+        data_offset += 1
+    offsets = []
+    pos = data_offset
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b) + (len(b) % 2)
+    ext = bytearray()
+    entries = build(ext, offsets)
+    ifd = struct.pack("<H", n_tags) + entries  # next-IFD appended by caller
+    pad = data_offset - (ext_offset + len(ext))
+    return ifd, bytes(ext) + b"\0" * pad, blocks, pos - base_offset
+
+
+def write_cog(
+    path: str,
+    array: np.ndarray,
+    transform: Optional[Affine] = None,
+    crs: Optional[int] = None,
+    nodata: Optional[float] = None,
+    tile_size: int = 256,
+    num_overviews: int = 6,
+    compress: str = "deflate",
+) -> None:
+    """Write a Cloud-Optimized GeoTIFF: tiled + 2x overview pyramid.
+
+    Functional equivalent of the reference's ``gdal_translate -of COG``
+    invocation (cog_converter.py:125-174): LZW/deflate tiles, overview
+    levels by nearest-neighbour decimation.
+    """
+    if array.ndim == 2:
+        array = array[None]
+    levels = [array]
+    cur = array
+    for _ in range(num_overviews):
+        if min(cur.shape[1], cur.shape[2]) < max(2, tile_size // 4):
+            break
+        cur = cur[:, ::2, ::2]
+        levels.append(cur)
+
+    parts: List[Tuple[bytes, bytes, List[bytes], int]] = []
+    offset = 8
+    for i, lvl in enumerate(levels):
+        ifd, ext, blocks, size = _serialize_ifd(
+            lvl, transform, crs, nodata, tiled=True, tile_size=tile_size,
+            compress=compress, base_offset=offset, is_overview=i > 0)
+        total = len(ifd) + 4 + len(ext) + sum(
+            len(b) + (len(b) % 2) for b in blocks)
+        parts.append((ifd, ext, blocks, offset))
+        offset += total
+
+    with open(path, "wb") as f:
+        f.write(b"II*\0" + struct.pack("<I", 8))
+        for i, (ifd, ext, blocks, base) in enumerate(parts):
+            next_off = parts[i + 1][3] if i + 1 < len(parts) else 0
+            f.write(ifd + struct.pack("<I", next_off))
+            f.write(ext)
+            for b in blocks:
+                f.write(b)
+                if len(b) % 2:
+                    f.write(b"\0")
+
+
 def open_geotiff(path: str) -> GeoTiffReader:
     return GeoTiffReader(path)
 

@@ -1,0 +1,271 @@
+"""Web backend: REST API over aiohttp (FastAPI/Redis/Ray replacement).
+
+Same endpoint surface as the reference (``instageo/new_apps/backend/app/
+main.py``): ``POST /api/run-model``, ``GET /api/task/{id}``, ``/api/tasks``,
+``/api/queues/status``, ``/api/models[/{name}]``, ``/api/health``,
+``/api/visualize/{task_id}``, and the tile endpoints under ``/api/titiler``
+(task-id-keyed, no filesystem paths exposed — reference main.py:111-193).
+JWT middleware protects all non-public routes (reference main.py:61-101).
+
+Run: ``python -m instageo_tpu.webapp.main`` (port 8000; workers started
+in-process unless INSTAGEO_NO_WORKERS=1).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict
+
+from aiohttp import web
+
+from instageo_tpu.webapp import db, queue
+from instageo_tpu.webapp.auth import AuthError, get_current_user, is_task_owner
+from instageo_tpu.webapp.settings import settings
+from instageo_tpu.webapp.tasks import Task, TaskStatus
+from instageo_tpu.webapp.tiler import TilerService
+
+log = logging.getLogger(__name__)
+
+PUBLIC_ROUTES = {"/api/health", "/api/docs"}
+
+
+# ---------------------------------------------------------------------------
+# Middleware
+# ---------------------------------------------------------------------------
+
+
+@web.middleware
+async def auth_middleware(request: web.Request, handler):
+    """JWT check for all non-public routes (reference main.py:61-101)."""
+    path = request.path
+    if path in PUBLIC_ROUTES or not path.startswith("/api"):
+        return await handler(request)
+    if settings.AUTH_DISABLED:
+        request["user"] = {"sub": "test-user", "email": "test@example.com"}
+        return await handler(request)
+    auth = request.headers.get("Authorization", "")
+    if not auth.startswith("Bearer "):
+        return web.json_response({"detail": "Missing bearer token"}, status=401)
+    try:
+        request["user"] = get_current_user(auth[len("Bearer "):])
+    except AuthError as e:
+        return web.json_response({"detail": str(e)}, status=e.status)
+    return await handler(request)
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+
+async def run_model(request: web.Request) -> web.Response:
+    """POST /api/run-model (reference main.py:242-326)."""
+    try:
+        body = await request.json()
+    except json.JSONDecodeError:
+        return web.json_response({"detail": "Invalid JSON body"}, status=400)
+    bboxes = body.get("bboxes")
+    model_key = body.get("model_key") or body.get("model")
+    if not bboxes or not isinstance(bboxes, list):
+        return web.json_response({"detail": "bboxes list is required"},
+                                 status=422)
+    if not model_key:
+        return web.json_response({"detail": "model_key is required"},
+                                 status=422)
+    from instageo_tpu.serve.registry import ModelRegistry
+
+    registry: ModelRegistry = request.app["registry"]
+    try:
+        meta = registry.get_model_metadata_for_size(
+            model_key, body.get("model_size"))
+    except KeyError:
+        return web.json_response({"detail": f"Unknown model {model_key}"},
+                                 status=404)
+
+    user = request.get("user", {})
+    parameters = {
+        "data_source": meta.get("data_source", "HLS"),
+        "chip_size": meta.get("chip_size", 224),
+        "num_steps": meta.get("num_steps", 1),
+        "temporal_step": meta.get("temporal_step", 30),
+        "temporal_tolerance": meta.get("temporal_tolerance", 5),
+        **(body.get("parameters") or {}),
+    }
+    task = Task(bboxes=bboxes, parameters=parameters,
+                user_sub=user.get("sub", ""), model_key=model_key,
+                model_size=meta.get("size") or "",
+                db_path=request.app["db_path"])
+    db.upsert_user(user.get("sub", ""), user.get("email", ""),
+                   db_path=request.app["db_path"])
+    task.save()
+    task.start_data_processing()
+    return web.json_response({"task_id": task.task_id,
+                              "status": task.status}, status=202)
+
+
+async def get_task(request: web.Request) -> web.Response:
+    """GET /api/task/{task_id} (reference main.py:329-362)."""
+    task = Task.load(request.match_info["task_id"], request.app["db_path"])
+    if task is None:
+        return web.json_response({"detail": "Task not found"}, status=404)
+    user = request.get("user", {})
+    if not settings.AUTH_DISABLED and not is_task_owner(task.to_dict(), user):
+        return web.json_response({"detail": "Forbidden"}, status=403)
+    return web.json_response(task.to_dict())
+
+
+async def list_tasks_handler(request: web.Request) -> web.Response:
+    """GET /api/tasks (reference main.py:365-391)."""
+    user = request.get("user", {})
+    tasks = db.list_tasks(user_sub=user.get("sub"),
+                          db_path=request.app["db_path"])
+    return web.json_response({"tasks": tasks})
+
+
+async def queues_status(request: web.Request) -> web.Response:
+    """GET /api/queues/status (reference main.py:394-400)."""
+    return web.json_response(queue.get_queues_status(request.app["db_path"]))
+
+
+async def list_models(request: web.Request) -> web.Response:
+    """GET /api/models (reference main.py:403-441)."""
+    return web.json_response(
+        {"models": request.app["registry"].get_available_models()})
+
+
+async def get_model(request: web.Request) -> web.Response:
+    """GET /api/models/{name} (reference main.py:516-526)."""
+    try:
+        return web.json_response(
+            request.app["registry"].get_model_metadata(
+                request.match_info["name"]))
+    except KeyError:
+        return web.json_response({"detail": "Model not found"}, status=404)
+
+
+async def health(request: web.Request) -> web.Response:
+    """GET /api/health: DB + queue/worker probing (reference main.py:444-513)."""
+    checks: Dict[str, Any] = {"status": "healthy"}
+    try:
+        db.get_conn(request.app["db_path"]).execute("SELECT 1")
+        checks["database"] = "ok"
+    except Exception as e:
+        checks["database"] = f"error: {e}"
+        checks["status"] = "unhealthy"
+    try:
+        checks["queues"] = queue.get_queues_status(request.app["db_path"])
+    except Exception as e:
+        checks["queues"] = f"error: {e}"
+        checks["status"] = "unhealthy"
+    workers = request.app.get("workers") or []
+    checks["workers"] = {
+        "count": len(workers),
+        "alive": sum(1 for w in workers if w.is_alive()),
+    }
+    status = 200 if checks["status"] == "healthy" else 503
+    return web.json_response(checks, status=status)
+
+
+async def visualize(request: web.Request) -> web.Response:
+    """GET /api/visualize/{task_id} (reference tiler_service.py:45-92)."""
+    task_id = request.match_info["task_id"]
+    task = Task.load(task_id, request.app["db_path"])
+    if task is None:
+        return web.json_response({"detail": "Task not found"}, status=404)
+    if task.status != TaskStatus.COMPLETED:
+        return web.json_response(
+            {"detail": f"Task not completed (status={task.status})"},
+            status=409)
+    urls = request.app["tiler"].visualize_urls(task_id)
+    return web.json_response({"task_id": task_id, "layers": urls})
+
+
+def _layer_mode(layer: str) -> str:
+    return "classes" if layer == "predictions" else "rgb"
+
+
+async def tile_png(request: web.Request) -> web.Response:
+    m = request.match_info
+    try:
+        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
+        png = tiler.render_tile(int(m["z"]), int(m["x"]), int(m["y"]),
+                                mode=_layer_mode(m["layer"]))
+    except FileNotFoundError as e:
+        return web.json_response({"detail": str(e)}, status=404)
+    return web.Response(body=png, content_type="image/png")
+
+
+async def tilejson(request: web.Request) -> web.Response:
+    m = request.match_info
+    try:
+        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
+    except FileNotFoundError as e:
+        return web.json_response({"detail": str(e)}, status=404)
+    url = (f"/api/titiler/{m['task_id']}/{m['layer']}"
+           "/tiles/{z}/{x}/{y}.png")
+    return web.json_response(tiler.tilejson(url))
+
+
+async def preview_png(request: web.Request) -> web.Response:
+    m = request.match_info
+    try:
+        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
+        png = tiler.preview(mode=_layer_mode(m["layer"]))
+    except FileNotFoundError as e:
+        return web.json_response({"detail": str(e)}, status=404)
+    return web.Response(body=png, content_type="image/png")
+
+
+async def statistics(request: web.Request) -> web.Response:
+    m = request.match_info
+    try:
+        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
+    except FileNotFoundError as e:
+        return web.json_response({"detail": str(e)}, status=404)
+    return web.json_response(tiler.statistics())
+
+
+# ---------------------------------------------------------------------------
+# App factory
+# ---------------------------------------------------------------------------
+
+
+def create_app(db_path: str = None, start_workers: bool = False) -> web.Application:
+    from instageo_tpu.serve.registry import ModelRegistry
+
+    app = web.Application(middlewares=[auth_middleware])
+    app["db_path"] = db_path or settings.DATABASE_URL
+    app["registry"] = ModelRegistry()
+    app["tiler"] = TilerService(settings.TASKS_DATA_DIR)
+    db.init_db(app["db_path"])
+    app["workers"] = (queue.start_workers(db_path=app["db_path"])
+                      if start_workers else [])
+
+    app.router.add_post("/api/run-model", run_model)
+    app.router.add_get("/api/task/{task_id}", get_task)
+    app.router.add_get("/api/tasks", list_tasks_handler)
+    app.router.add_get("/api/queues/status", queues_status)
+    app.router.add_get("/api/models", list_models)
+    app.router.add_get("/api/models/{name}", get_model)
+    app.router.add_get("/api/health", health)
+    app.router.add_get("/api/visualize/{task_id}", visualize)
+    app.router.add_get("/api/titiler/{task_id}/{layer}/tiles/{z}/{x}/{y}.png",
+                       tile_png)
+    app.router.add_get("/api/titiler/{task_id}/{layer}/tilejson.json", tilejson)
+    app.router.add_get("/api/titiler/{task_id}/{layer}/preview.png", preview_png)
+    app.router.add_get("/api/titiler/{task_id}/{layer}/statistics", statistics)
+    return app
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    start = os.environ.get("INSTAGEO_NO_WORKERS", "") != "1"
+    app = create_app(start_workers=start)
+    port = int(os.environ.get("PORT", 8000))
+    web.run_app(app, port=port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Job queue: sqlite-backed queues + worker processes (RQ/Redis replacement).
+
+The reference distributes stage jobs over three RQ queues consumed by
+horizontally-scaled worker containers (``instageo/new_apps/backend/app/
+jobs.py``); here the queues live in sqlite with atomic claim updates and
+workers are processes (or in-process loops for tests) pulling from their
+queue. Same queue names, timeouts, and job-status surface.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import logging
+import multiprocessing
+import time
+import traceback
+import uuid
+from typing import Any, Dict, List, Optional
+
+from instageo_tpu.webapp import db
+
+log = logging.getLogger(__name__)
+
+QUEUE_DATA_PROCESSING = "data-processing"
+QUEUE_MODEL_PREDICTION = "model-prediction"
+QUEUE_VISUALIZATION = "visualization-preparation"
+ALL_QUEUES = (QUEUE_DATA_PROCESSING, QUEUE_MODEL_PREDICTION, QUEUE_VISUALIZATION)
+
+# Reference enqueue timeouts: 2h data, 1h prediction, 1h viz (tasks.py:259-307).
+DEFAULT_TIMEOUTS = {
+    QUEUE_DATA_PROCESSING: 2 * 3600.0,
+    QUEUE_MODEL_PREDICTION: 3600.0,
+    QUEUE_VISUALIZATION: 3600.0,
+}
+
+
+class JobStatus:
+    QUEUED = "queued"
+    STARTED = "started"
+    FINISHED = "finished"
+    FAILED = "failed"
+    TIMED_OUT = "timed_out"
+
+
+def enqueue(queue: str, func: str, args: Dict[str, Any], task_id: str = "",
+            timeout_s: Optional[float] = None,
+            db_path: Optional[str] = None) -> str:
+    """Add a job; ``func`` is a ``module:function`` import path."""
+    job_id = uuid.uuid4().hex
+    conn = db.get_conn(db_path)
+    conn.execute(
+        "INSERT INTO jobs(job_id, queue, task_id, func, args, status, "
+        "timeout_s, enqueued_at) VALUES(?,?,?,?,?,?,?,?)",
+        (job_id, queue, task_id, func, json.dumps(args), JobStatus.QUEUED,
+         timeout_s or DEFAULT_TIMEOUTS.get(queue, 3600.0), time.time()))
+    conn.commit()
+    return job_id
+
+
+def claim_next(queue: str, db_path: Optional[str] = None) -> Optional[Dict]:
+    """Atomically claim the oldest queued job."""
+    conn = db.get_conn(db_path)
+    with conn:
+        row = conn.execute(
+            "SELECT * FROM jobs WHERE queue=? AND status=? "
+            "ORDER BY enqueued_at LIMIT 1", (queue, JobStatus.QUEUED)).fetchone()
+        if row is None:
+            return None
+        updated = conn.execute(
+            "UPDATE jobs SET status=?, started_at=? WHERE job_id=? AND status=?",
+            (JobStatus.STARTED, time.time(), row["job_id"], JobStatus.QUEUED))
+        if updated.rowcount == 0:
+            return None
+    job = dict(row)
+    job["args"] = json.loads(job["args"])
+    return job
+
+
+def _finish(job_id: str, status: str, result: Any = None,
+            error: Optional[str] = None, db_path: Optional[str] = None) -> None:
+    conn = db.get_conn(db_path)
+    conn.execute(
+        "UPDATE jobs SET status=?, finished_at=?, result=?, error=? "
+        "WHERE job_id=?",
+        (status, time.time(), json.dumps(result, default=str), error, job_id))
+    conn.commit()
+
+
+def run_job(job: Dict, db_path: Optional[str] = None) -> bool:
+    """Execute one claimed job; returns success."""
+    module_name, func_name = job["func"].split(":")
+    try:
+        fn = getattr(importlib.import_module(module_name), func_name)
+        result = fn(**job["args"])
+        _finish(job["job_id"], JobStatus.FINISHED, result, db_path=db_path)
+        return True
+    except Exception as e:
+        log.error("Job %s failed: %s", job["job_id"], e)
+        _finish(job["job_id"], JobStatus.FAILED,
+                error=f"{e}\n{traceback.format_exc()}", db_path=db_path)
+        return False
+
+
+def work_once(queue: str, db_path: Optional[str] = None) -> bool:
+    """Claim + run one job; returns True if a job was processed."""
+    job = claim_next(queue, db_path)
+    if job is None:
+        return False
+    run_job(job, db_path)
+    return True
+
+
+def drain(queues=ALL_QUEUES, db_path: Optional[str] = None,
+          max_jobs: int = 1000) -> int:
+    """Run jobs until all queues are empty (synchronous test/CLI helper).
+
+    Stage handlers enqueue follow-up jobs, so loop until a full pass over
+    every queue finds nothing.
+    """
+    done = 0
+    while done < max_jobs:
+        progressed = False
+        for q in queues:
+            while work_once(q, db_path):
+                done += 1
+                progressed = True
+        if not progressed:
+            break
+    return done
+
+
+def worker_loop(queue: str, db_path: Optional[str] = None,
+                poll_interval: float = 1.0, stop_event=None) -> None:
+    """Blocking worker: the process body of an ``rq worker <queue>``."""
+    log.info("Worker started for queue %s", queue)
+    while stop_event is None or not stop_event.is_set():
+        if not work_once(queue, db_path):
+            time.sleep(poll_interval)
+
+
+def start_workers(queues=ALL_QUEUES, db_path: Optional[str] = None
+                  ) -> List[multiprocessing.Process]:
+    """Spawn one worker process per queue (docker-compose analogue)."""
+    procs = []
+    for q in queues:
+        p = multiprocessing.Process(target=worker_loop, args=(q, db_path),
+                                    daemon=True, name=f"worker-{q}")
+        p.start()
+        procs.append(p)
+    return procs
+
+
+def get_queues_status(db_path: Optional[str] = None) -> Dict[str, Dict]:
+    """Per-queue job counts (reference jobs.py:357)."""
+    conn = db.get_conn(db_path)
+    out: Dict[str, Dict] = {}
+    for q in ALL_QUEUES:
+        counts = {}
+        for status in (JobStatus.QUEUED, JobStatus.STARTED,
+                       JobStatus.FINISHED, JobStatus.FAILED):
+            (n,) = conn.execute(
+                "SELECT COUNT(*) FROM jobs WHERE queue=? AND status=?",
+                (q, status)).fetchone()
+            counts[status] = n
+        out[q] = counts
+    return out
+
+
+def get_job(job_id: str, db_path: Optional[str] = None) -> Optional[Dict]:
+    row = db.get_conn(db_path).execute(
+        "SELECT * FROM jobs WHERE job_id=?", (job_id,)).fetchone()
+    if row is None:
+        return None
+    job = dict(row)
+    job["args"] = json.loads(job["args"])
+    return job
