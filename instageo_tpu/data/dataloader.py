@@ -42,14 +42,26 @@ log = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 
+def _read_full(fname: str) -> np.ndarray:
+    """Full-raster decode: native C++ path when built, Python codec else."""
+    try:
+        from instageo_tpu import native
+
+        if native.available():
+            return native.read_geotiff_native(fname)
+    except Exception:  # fall back on any native failure
+        pass
+    with GeoTiffReader(fname) as src:
+        return src.read()
+
+
 def get_raster_data(
     fname: str,
     is_label: bool = True,
     bands: Optional[Sequence[int]] = None,
 ) -> np.ndarray:
     """Read a raster to (bands, H, W); select bands for imagery."""
-    with GeoTiffReader(fname) as src:
-        data = src.read()
+    data = _read_full(fname)
     if (not is_label) and bands:
         data = data[list(bands), ...]
     return data
