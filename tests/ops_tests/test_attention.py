@@ -1,0 +1,58 @@
+"""Pallas attention parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instageo_tpu.ops.attention import attention_reference, flash_attention
+
+
+@pytest.mark.parametrize("b,l,h,d", [
+    (2, 197, 4, 64),   # 224px/p16 T=1 + cls
+    (1, 589, 12, 64),  # T=3 Prithvi-100 shape
+    (1, 128, 2, 80),   # p14 head dim
+])
+def test_flash_attention_matches_reference(b, l, h, d):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_bf16():
+    rng = np.random.default_rng(1)
+    shape = (1, 197, 4, 64)
+    q = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_block_attention_via_model_flag():
+    """Attention impl flag reaches the Block module."""
+    from instageo_tpu.models.prithvi import Block
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    blk_xla = Block(num_heads=4, attn_impl="xla")
+    params = blk_xla.init(jax.random.PRNGKey(0), x)
+    out_xla = blk_xla.apply(params, x)
+    # pallas path in interpret mode isn't reachable through the flag on CPU
+    # (compiled mode requires TPU); verify the flag plumbs through to the
+    # same params structure instead.
+    blk_p = Block(num_heads=4, attn_impl="pallas")
+    params_p = jax.eval_shape(lambda: blk_p.init(jax.random.PRNGKey(0), x))
+    assert jax.tree.structure(params_p) == jax.tree.structure(
+        jax.eval_shape(lambda: params))
+    assert np.isfinite(np.asarray(out_xla)).all()
