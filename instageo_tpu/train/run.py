@@ -200,8 +200,21 @@ def main(argv: Optional[List[str]] = None) -> Any:
         crops = max(1, (int(cfg.test.get("img_size", 512))
                         - int(cfg.test.get("crop_size", 224)))
                     // int(cfg.test.get("stride", 224)) + 1) ** 2
-        metrics = trainer.test(lambda: iter(test_loader),
-                               batch_size=batch_size * crops)
+        plot_reg = bool(cfg.get("is_reg_task")) and bool(
+            cfg.model.get("plot_reg_results", False))
+        metrics = trainer.run_eval_epoch(
+            iter(test_loader), batch_size * crops, "test",
+            collect_outputs=plot_reg)
+        if plot_reg and "_preds" in metrics:
+            from instageo_tpu.train.plots import create_regression_plot
+
+            out_png = os.path.join(_run_dir(cfg), "regression_test.png")
+            create_regression_plot(metrics.pop("_preds"),
+                                   metrics.pop("_labels"), metrics, out_png,
+                                   "test")
+            log.info("Regression plot written to %s", out_png)
+        metrics.pop("_preds", None)
+        metrics.pop("_labels", None)
         log.info("Evaluation took %.1fs", time.time() - start_time)
         print(json.dumps(metrics))
         return metrics

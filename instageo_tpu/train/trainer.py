@@ -247,13 +247,32 @@ class Trainer:
         return self._finalize(metrics, "train", with_auc=False)
 
     def run_eval_epoch(self, batches: Iterable, batch_size: int,
-                       step_type: str = "val") -> Dict:
+                       step_type: str = "val",
+                       collect_outputs: bool = False) -> Dict:
         metrics = EpochMetrics.empty(self.num_classes)
         with_auc = step_type == "test" and not self.is_reg
+        collected_p, collected_y = [], []
         for x, y in batches:
+            n_real = np.asarray(x).shape[0]
             x, y = self._prepare(x, y, batch_size)
             metrics = self._eval_step(self.state, x, y, metrics, with_auc)
-        return self._finalize(metrics, step_type, with_auc=with_auc)
+            if collect_outputs and self.is_reg:
+                # host copy of valid-regression predictions (for plots)
+                logits = self.model.apply(
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}, x, train=False)
+                preds = np.asarray(jax.device_get(logits))[:n_real, 0]
+                if self.use_log_scale:
+                    preds = np.expm1(preds)
+                labels = np.asarray(jax.device_get(y))[:n_real]
+                valid = labels != float(self.ignore_index)
+                collected_p.append(preds[valid])
+                collected_y.append(labels[valid])
+        out = self._finalize(metrics, step_type, with_auc=with_auc)
+        if collect_outputs and collected_p:
+            out["_preds"] = np.concatenate(collected_p)
+            out["_labels"] = np.concatenate(collected_y)
+        return out
 
     def _finalize(self, metrics: EpochMetrics, step_type: str,
                   with_auc: bool) -> Dict:
