@@ -69,6 +69,28 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def zero1_place(tree: Any, mesh: Mesh) -> Any:
+    """ZeRO-1-style placement: shard large leaves' dim 0 over the data axis.
+
+    For the 600M Prithvi variant the AdamW moments dominate memory; sharding
+    them over the mesh (and letting GSPMD insert the gathers around the
+    update) trades a little ICI traffic for 1/N optimizer memory. Leaves
+    whose first dim isn't divisible by the mesh (or that are small) stay
+    replicated.
+    """
+    n = int(mesh.devices.size)
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        arr = np.asarray(x) if not hasattr(x, "shape") else x
+        if getattr(arr, "ndim", 0) >= 1 and arr.shape[0] % n == 0 and arr.size >= 1 << 16:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
 def pad_batch(arrays: Sequence[np.ndarray], batch_size: int,
               label_fill: float = -100) -> tuple:
     """Pad (inputs, labels) leading dim to ``batch_size``; labels get fill.

@@ -117,11 +117,21 @@ class Trainer:
             freeze_backbone=bool(cfg.model.get("freeze_backbone", False)),
         )
         rep = replicated(self.mesh)
+        opt_state = self.tx.init(variables["params"])
+        if bool((cfg.get("tpu") or {}).get("zero1", False)):
+            # ZeRO-1: shard optimizer moments over the data axis
+            # (SURVEY.md §2.5 — the only sharding beyond DP this model
+            # family warrants).
+            from instageo_tpu.parallel.mesh import zero1_place
+
+            opt_state = zero1_place(opt_state, self.mesh)
+        else:
+            opt_state = jax.device_put(opt_state, rep)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=jax.device_put(variables["params"], rep),
             batch_stats=jax.device_put(variables.get("batch_stats", {}), rep),
-            opt_state=jax.device_put(self.tx.init(variables["params"]), rep),
+            opt_state=opt_state,
         )
         if teacher is not None:
             self._teacher_vars = jax.device_put(teacher[1], rep)

@@ -1,0 +1,82 @@
+"""Sharding tests: DP mesh, zero-1 placement, multihost no-op paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from instageo_tpu.configs.config import load_config
+from instageo_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch,
+    shard_batch,
+    zero1_place,
+)
+from instageo_tpu.parallel.multihost import (
+    aggregate_metrics,
+    host_local_to_global,
+    initialize_multihost,
+)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    x = np.zeros((16, 3), np.float32)
+    arr = shard_batch(x, mesh)
+    spec = arr.sharding.spec
+    assert spec == P("data")
+
+
+def test_pad_batch():
+    x = np.ones((5, 2), np.float32)
+    y = np.ones((5,), np.int32)
+    xp, yp, n = pad_batch((x, y), 8, label_fill=-1)
+    assert xp.shape == (8, 2) and yp.shape == (8,)
+    assert n == 5
+    assert (yp[5:] == -1).all()
+    assert (xp[5:] == 0).all()
+
+
+def test_zero1_place_shards_big_leaves():
+    mesh = make_mesh()
+    big = jnp.zeros((64, 2048))  # divisible, big
+    small = jnp.zeros((3,))
+    odd = jnp.zeros((65, 2048))  # not divisible
+    placed = zero1_place({"big": big, "small": small, "odd": odd}, mesh)
+    assert placed["big"].sharding.spec == P("data")
+    assert placed["small"].sharding.spec == P()
+    assert placed["odd"].sharding.spec == P()
+
+
+def test_zero1_training_step_runs():
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": 8, "train.ignore_index": -1,
+        "tpu.precision": "f32", "tpu.zero1": True,
+    })
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
+    m = trainer.run_train_epoch(iter([(x, y)]), jax.random.PRNGKey(0), 8)
+    assert np.isfinite(m["train_loss"])
+
+
+def test_multihost_single_process_paths():
+    initialize_multihost()  # no-op single process
+    mesh = make_mesh()
+    g = host_local_to_global(np.zeros((8, 2), np.float32), mesh)
+    assert g.sharding.spec == P("data")
+    tree = {"cm": jnp.ones((2, 2))}
+    out = aggregate_metrics(tree)
+    np.testing.assert_array_equal(np.asarray(out["cm"]), np.ones((2, 2)))
