@@ -24,7 +24,7 @@ def main() -> None:
 
     devices = jax.devices()
     platform = devices[0].platform
-    batch = 64 if platform == "tpu" else 8
+    batch = 128 if platform == "tpu" else 8
 
     model = create_prithvi_seg(
         "prithvi_eo_v1_100", num_classes=2, temporal_step=1,
@@ -50,7 +50,7 @@ def main() -> None:
     for _ in range(2):
         _, s = infer(variables, x, zero)
         float(s)  # device->host fetch = hard sync
-    iters = 20 if platform == "tpu" else 3
+    iters = 10 if platform == "tpu" else 3
     t0 = time.perf_counter()
     checksum = 0
     for i in range(iters):

@@ -256,6 +256,15 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     app.router.add_get("/api/titiler/{task_id}/{layer}/tilejson.json", tilejson)
     app.router.add_get("/api/titiler/{task_id}/{layer}/preview.png", preview_png)
     app.router.add_get("/api/titiler/{task_id}/{layer}/statistics", statistics)
+
+    # Single-page frontend (replaces the reference's React SPA surface).
+    static_dir = os.path.join(os.path.dirname(__file__), "static")
+
+    async def index(_request: web.Request) -> web.Response:
+        return web.FileResponse(os.path.join(static_dir, "index.html"))
+
+    app.router.add_get("/", index)
+    app.router.add_static("/static", static_dir)
     return app
 
 
