@@ -27,12 +27,17 @@ class BestCheckpointer:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
-    def save(self, state: Any, metrics: Optional[Dict] = None) -> str:
+    def save(self, state: Any, metrics: Optional[Dict] = None,
+             include_opt_state: bool = True) -> str:
         tree = {
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
         }
+        if include_opt_state and getattr(state, "opt_state", None) is not None:
+            # Enables mid-training resume (absent in the reference —
+            # SURVEY.md §5 checkpoint/resume).
+            tree["opt_state"] = state.opt_state
         # fully materialize on host before save (works on any backend)
         tree = jax.tree.map(np.asarray, jax.device_get(tree))
         if os.path.exists(self.path):

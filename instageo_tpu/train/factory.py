@@ -106,12 +106,9 @@ def load_finetuned(path: str, model: PrithviSeg, cfg: Any,
                    init_vars: Optional[Dict] = None) -> Dict:
     """Load a fine-tuned checkpoint: orbax dir or torch Lightning file."""
     if os.path.isdir(path):
-        target = {
-            "step": jnp.zeros((), jnp.int32),
-            "params": init_vars["params"],
-            "batch_stats": init_vars.get("batch_stats", {}),
-        }
-        restored = load_checkpoint(path, target=target)
+        # Restore without a target (checkpoints may or may not carry
+        # opt_state for mid-training resume); arrays come back as numpy.
+        restored = load_checkpoint(path, target=None)
         return {"params": restored["params"],
                 "batch_stats": restored.get("batch_stats", {})}
     # torch Lightning checkpoint (.ckpt/.pt)

@@ -19,6 +19,7 @@ the reference within float tolerance; see tests/model_tests/test_trainer.py.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -355,3 +356,32 @@ class Trainer:
     def test(self, test_loader, batch_size: Optional[int] = None) -> Dict:
         batch_size = batch_size or int(self.cfg.train.get("batch_size", 8))
         return self.run_eval_epoch(test_loader(), batch_size, "test")
+
+    def restore(self, ckpt_path: str) -> None:
+        """Resume training state (step/params/batch_stats/opt_state) from an
+        orbax checkpoint written by :class:`BestCheckpointer`."""
+        import orbax.checkpoint as ocp
+
+        target = {
+            "step": jax.device_get(self.state.step),
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+        }
+        try:
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(ckpt_path), target=target)
+            opt_state = restored["opt_state"]
+        except Exception:
+            # Older checkpoints without opt_state: restore the rest.
+            target.pop("opt_state")
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(ckpt_path), target=target)
+            opt_state = jax.device_get(self.state.opt_state)
+        rep = replicated(self.mesh)
+        self.state = TrainState(
+            step=jnp.asarray(restored["step"]),
+            params=jax.device_put(restored["params"], rep),
+            batch_stats=jax.device_put(restored["batch_stats"], rep),
+            opt_state=jax.device_put(opt_state, rep),
+        )

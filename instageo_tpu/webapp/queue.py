@@ -102,6 +102,38 @@ def run_job(job: Dict, db_path: Optional[str] = None) -> bool:
         return False
 
 
+def reap_timeouts(db_path: Optional[str] = None) -> int:
+    """Mark started jobs past their timeout as timed_out and fail the task.
+
+    Enforces the reference's RQ job timeouts (jobs run in worker processes;
+    a hung stage must not wedge its task forever — tasks.py:313-361).
+    """
+    conn = db.get_conn(db_path)
+    now = time.time()
+    rows = conn.execute(
+        "SELECT job_id, task_id, queue, started_at, timeout_s FROM jobs "
+        "WHERE status=?", (JobStatus.STARTED,)).fetchall()
+    reaped = 0
+    for row in rows:
+        if row["started_at"] and now - row["started_at"] > row["timeout_s"]:
+            _finish(row["job_id"], JobStatus.TIMED_OUT,
+                    error=f"timed out after {row['timeout_s']}s",
+                    db_path=db_path)
+            reaped += 1
+            if row["task_id"]:
+                from instageo_tpu.webapp.tasks import Task
+
+                task = Task.load(row["task_id"], db_path)
+                if task and task.status not in ("completed", "failed"):
+                    stage = {
+                        QUEUE_DATA_PROCESSING: "data_processing",
+                        QUEUE_MODEL_PREDICTION: "model_prediction",
+                        QUEUE_VISUALIZATION: "visualization_preparation",
+                    }.get(row["queue"], "data_processing")
+                    task.fail(stage, f"stage timed out after {row['timeout_s']}s")
+    return reaped
+
+
 def work_once(queue: str, db_path: Optional[str] = None) -> bool:
     """Claim + run one job; returns True if a job was processed."""
     job = claim_next(queue, db_path)
@@ -134,7 +166,14 @@ def worker_loop(queue: str, db_path: Optional[str] = None,
                 poll_interval: float = 1.0, stop_event=None) -> None:
     """Blocking worker: the process body of an ``rq worker <queue>``."""
     log.info("Worker started for queue %s", queue)
+    last_reap = 0.0
     while stop_event is None or not stop_event.is_set():
+        if time.monotonic() - last_reap > 60:
+            try:
+                reap_timeouts(db_path)
+            except Exception as e:  # reaping must never kill the worker
+                log.warning("timeout reap failed: %s", e)
+            last_reap = time.monotonic()
         if not work_once(queue, db_path):
             time.sleep(poll_interval)
 

@@ -1,0 +1,64 @@
+"""Queue unit tests: claims, failures, timeouts, status."""
+
+import time
+
+import pytest
+
+from instageo_tpu.webapp import db, queue
+
+
+@pytest.fixture
+def qdb(tmp_path):
+    path = str(tmp_path / "q.sqlite")
+    db.init_db(path)
+    return path
+
+
+def _ok_job(**kwargs):
+    return {"value": kwargs.get("value", 1)}
+
+
+def _boom():
+    raise RuntimeError("boom")
+
+
+def test_enqueue_claim_run(qdb):
+    jid = queue.enqueue("data-processing",
+                        "tests.webapp_tests.test_queue:_ok_job",
+                        {"value": 7}, db_path=qdb)
+    job = queue.claim_next("data-processing", db_path=qdb)
+    assert job["job_id"] == jid
+    # claimed jobs can't be double-claimed
+    assert queue.claim_next("data-processing", db_path=qdb) is None
+    assert queue.run_job(job, db_path=qdb)
+    rec = queue.get_job(jid, db_path=qdb)
+    assert rec["status"] == "finished"
+    assert "7" in rec["result"]
+
+
+def test_failed_job_records_error(qdb):
+    queue.enqueue("data-processing", "tests.webapp_tests.test_queue:_boom",
+                  {}, db_path=qdb)
+    assert queue.work_once("data-processing", db_path=qdb)
+    status = queue.get_queues_status(qdb)
+    assert status["data-processing"]["failed"] == 1
+
+
+def test_reap_timeouts(qdb):
+    jid = queue.enqueue("model-prediction",
+                        "tests.webapp_tests.test_queue:_ok_job", {},
+                        timeout_s=0.01, db_path=qdb)
+    job = queue.claim_next("model-prediction", db_path=qdb)
+    assert job is not None
+    time.sleep(0.05)
+    assert queue.reap_timeouts(qdb) == 1
+    assert queue.get_job(jid, db_path=qdb)["status"] == "timed_out"
+
+
+def test_drain_processes_chained_jobs(qdb):
+    queue.enqueue("data-processing", "tests.webapp_tests.test_queue:_ok_job",
+                  {}, db_path=qdb)
+    queue.enqueue("visualization-preparation",
+                  "tests.webapp_tests.test_queue:_ok_job", {}, db_path=qdb)
+    assert queue.drain(db_path=qdb) == 2
+    assert queue.drain(db_path=qdb) == 0
