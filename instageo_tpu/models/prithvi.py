@@ -243,7 +243,8 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, Dh)
 
-        if self.attn_impl == "pallas":
+        use_pallas = self.attn_impl == "pallas" and jax.default_backend() == "tpu"
+        if use_pallas:
             from instageo_tpu.ops.attention import flash_attention
 
             out = flash_attention(q, k, v)

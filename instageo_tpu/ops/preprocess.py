@@ -1,0 +1,75 @@
+"""Fused device-side input preprocessing.
+
+The reference normalizes every chip on the host in float32 before transfer
+(``instageo/model/dataloader.py:495-524``); at >5k chips/s that costs more
+host CPU than the decode itself and doubles the transfer size (f32 vs
+uint16). This op moves the work onto the accelerator: chips cross the PCIe
+boundary raw (uint16/int16), and one fused XLA kernel does band select →
+constant multiply → per-band normalize → (C, T, H, W) layout → compute
+dtype, fusing straight into the model's patch-embed matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temporal_size", "bands", "constant_multiplier",
+                     "out_dtype"),
+)
+def preprocess_chips(
+    raw: jnp.ndarray,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    temporal_size: int = 1,
+    bands: Optional[Sequence[int]] = None,
+    constant_multiplier: float = 1.0,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """(B, T·C_raw, H, W) raw ints -> normalized (B, C, T, H, W).
+
+    ``mean``/``std`` are per-band (C,) arrays; band selection indexes the
+    flattened T·C axis like the reference's ``bands`` config.
+    """
+    x = raw
+    if bands is not None:
+        x = x[:, list(bands)]
+    b, tc, h, w = x.shape
+    c = tc // temporal_size
+    x = x.astype(jnp.float32) * constant_multiplier
+    x = x.reshape(b, temporal_size, c, h, w)
+    x = (x - mean[None, None, :, None, None]) / std[None, None, :, None, None]
+    return x.transpose(0, 2, 1, 3, 4).astype(out_dtype)
+
+
+def make_fused_predict_fn(model, variables, mean, std, *,
+                          temporal_size: int = 1,
+                          bands: Optional[Sequence[int]] = None,
+                          constant_multiplier: float = 1.0,
+                          is_reg_task: bool = False):
+    """One jitted call: raw uint16 chips -> predictions.
+
+    Preprocess + forward + argmax fuse into a single XLA program, so the
+    normalize never materializes in HBM as a separate pass.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    bands_t = tuple(bands) if bands is not None else None
+
+    @jax.jit
+    def predict(raw):
+        x = preprocess_chips(raw, mean, std, temporal_size=temporal_size,
+                             bands=bands_t,
+                             constant_multiplier=constant_multiplier)
+        logits = model.apply(variables, x, train=False)
+        if is_reg_task:
+            return logits[:, 0].astype(jnp.float32)
+        return jnp.argmax(logits, axis=1).astype(jnp.int8)
+
+    return predict

@@ -61,6 +61,100 @@ def make_predict_fn(model: Any, variables: Dict, is_reg_task: bool = False,
     return predict
 
 
+def chip_inference_from_paths(
+    chip_paths: "list[str]",
+    out_dir: str,
+    model: Any,
+    variables: Dict,
+    mean,
+    std,
+    *,
+    temporal_size: int = 1,
+    bands=None,
+    constant_multiplier: float = 1.0,
+    is_reg_task: bool = False,
+    batch_size: int = 64,
+    num_write_threads: int = 4,
+) -> Tuple[int, float]:
+    """Fully-fused inference: raw chips -> device -> predictions.
+
+    The fast path of the serving loop: chips are decoded in batches by the
+    native C++ thread pool (Python codec fallback), transferred raw
+    (uint16 — half the PCIe bytes of the reference's host-normalized f32),
+    and one jitted program does preprocess + forward + argmax
+    (ops/preprocess.py). Decode of batch N+1 overlaps device compute of
+    batch N; writes overlap both.
+    """
+    import numpy as _np
+
+    from instageo_tpu.data.geotiff import GeoTiffReader
+    from instageo_tpu.ops.preprocess import make_fused_predict_fn
+
+    if not chip_paths:
+        return 0, 0.0
+    os.makedirs(out_dir, exist_ok=True)
+    with GeoTiffReader(chip_paths[0]) as r:
+        shape = (r.count, r.height, r.width)
+        dtype = _np.dtype(r.dtypes[0])
+
+    def decode_batch(paths):
+        try:
+            from instageo_tpu import native
+
+            if native.available():
+                return native.read_batch_native(paths, shape, dtype)
+        except Exception:
+            pass
+        out = _np.empty((len(paths),) + shape, dtype)
+        for i, p in enumerate(paths):
+            with GeoTiffReader(p) as rr:
+                out[i] = rr.read()
+        return out
+
+    predict = make_fused_predict_fn(
+        model, variables, mean, std, temporal_size=temporal_size,
+        bands=bands, constant_multiplier=constant_multiplier,
+        is_reg_task=is_reg_task)
+
+    n = 0
+    t0 = time.time()
+    pending = None
+    next_raw = decode_batch(chip_paths[:batch_size])
+    with ThreadPoolExecutor(num_write_threads) as pool:
+        futures = []
+
+        def flush(preds_dev, files):
+            preds = np.asarray(jax.device_get(preds_dev))
+            for p, f in zip(preds, files):
+                futures.append(
+                    pool.submit(save_prediction, p, f, out_dir, is_reg_task))
+
+        for i in range(0, len(chip_paths), batch_size):
+            files = chip_paths[i : i + batch_size]
+            raw = next_raw
+            # prefetch the next batch decode while the device runs
+            nxt = chip_paths[i + batch_size : i + 2 * batch_size]
+            decode_fut = pool.submit(decode_batch, nxt) if nxt else None
+            # pad the tail to keep a single compiled shape
+            if raw.shape[0] < batch_size:
+                pad = _np.zeros((batch_size - raw.shape[0],) + shape, dtype)
+                raw = _np.concatenate([raw, pad])
+            preds_dev = predict(jnp.asarray(raw))[: len(files)]
+            if pending is not None:
+                flush(*pending)
+            pending = (preds_dev, files)
+            n += len(files)
+            next_raw = decode_fut.result() if decode_fut else None
+        if pending is not None:
+            flush(*pending)
+        for f in futures:
+            f.result()
+    dt = time.time() - t0
+    log.info("fused chip_inference: %d chips in %.2fs (%.1f chips/s)", n, dt,
+             n / dt if dt else 0.0)
+    return n, dt
+
+
 def chip_inference(
     dataloader: Iterable,
     out_dir: str,

@@ -122,9 +122,33 @@ class EvaluationPipeline:
         return server.evaluate(lambda: iter(loader))
 
     def chip_inference(self, out_dir: Optional[str] = None) -> Dict[str, Any]:
-        """Batched chip inference (reference :301-308)."""
+        """Batched chip inference (reference :301-308).
+
+        Defaults to the fused fast path (raw uint16 transfer + on-device
+        preprocessing, ops/preprocess.py); set ``tpu.fused_infer=false`` for
+        the host-preprocessed loader path.
+        """
         server = self.start_evaluation_pipeline()
         out = out_dir or os.path.join(str(self.cfg.root_dir), "predictions")
+        cfg = self.cfg
+        if bool((cfg.get("tpu") or {}).get("fused_infer", True)):
+            from instageo_tpu.serve.infer import chip_inference_from_paths
+
+            loader = self._infer_loader()  # QA-scanned file list
+            paths = [p for p, _ in loader.dataset.file_paths]
+            n, dt = chip_inference_from_paths(
+                paths, out, server.model, server.variables,
+                mean=list(cfg.dataloader.mean), std=list(cfg.dataloader.std),
+                temporal_size=int(cfg.dataloader.get("temporal_dim", 1)),
+                bands=cfg.dataloader.get("bands"),
+                constant_multiplier=float(
+                    cfg.dataloader.get("constant_multiplier", 1.0)),
+                is_reg_task=bool(cfg.get("is_reg_task", False)),
+                batch_size=int(cfg.train.get("batch_size", 8)),
+            )
+            server.requests_served += 1
+            return {"num_chips": n, "inference_time": dt,
+                    "chips_per_sec": n / dt if dt else 0.0}
         return server.chip_inference(iter(self._infer_loader()), out)
 
     def cleanup(self) -> None:
