@@ -1,0 +1,151 @@
+"""Benchmark suite: one JSON line per metric.
+
+Covers the perf-relevant paths beyond the headline number in bench.py:
+training step throughput, eval throughput, attention kernel A/B, device
+chip-math throughput, and native decode throughput.
+
+    python benchmarks/bench_suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync_chips_per_sec(fn, n_chips: int, iters: int) -> float:
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return n_chips * iters / (time.perf_counter() - t0)
+
+
+def emit(metric: str, value: float, unit: str, **extra) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, **extra}), flush=True)
+
+
+def bench_train_step(quick: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.parallel.mesh import make_mesh
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch = 32 if on_tpu else 8
+    size = 224 if on_tpu else 32
+    name = "prithvi_eo_v1_100" if on_tpu else "prithvi_eo_tiny"
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": size,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": name,
+        "model.load_pretrained_weights": False,
+        "train.batch_size": batch, "train.ignore_index": -1,
+    })
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, 6, 1, size, size)).astype(np.float32)
+    y = rng.integers(0, 2, size=(batch, size, size)).astype(np.int32)
+    iters = 2 if quick else 5
+
+    def step():
+        trainer.run_train_epoch(iter([(x, y)]), jax.random.PRNGKey(0), batch)
+
+    v = _sync_chips_per_sec(step, batch, iters)
+    emit("prithvi_train_step_throughput", v, f"chips/sec ({name}, bf16, b={batch})")
+
+
+def bench_attention(quick: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from instageo_tpu.ops.attention import attention_reference, flash_attention
+
+    if jax.devices()[0].platform != "tpu":
+        return
+    rng = np.random.default_rng(0)
+    shape = (32, 197, 12, 64)
+    q = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    iters = 3 if quick else 10
+    for name, fn in (("pallas", jax.jit(lambda a, b, c: flash_attention(a, b, c))),
+                     ("xla", jax.jit(attention_reference))):
+        def run(fn=fn):
+            float(fn(q, k, v).astype(jnp.float32).sum())
+
+        run()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run()
+        emit(f"attention_{name}", (time.perf_counter() - t0) / iters * 1e3,
+             "ms/call (b32 l197 h12 d64)")
+
+
+def bench_chip_ops(quick: bool) -> None:
+    import jax.numpy as jnp
+
+    from instageo_tpu.ops.chip_ops import process_tile_chips
+
+    rng = np.random.default_rng(0)
+    tile = rng.integers(1, 10000, size=(18, 3660, 3660)).astype(np.uint16)
+    masks = rng.integers(0, 64, size=(3, 3660, 3660)).astype(np.int32)
+    n_chips = (3660 // 256) ** 2
+    xs, ys = np.meshgrid(np.arange(3660 // 256), np.arange(3660 // 256))
+    coords = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
+    pts = rng.integers(0, 3584, size=(512, 2))
+    labels = rng.integers(0, 2, 512).astype(np.float32)
+    owner = rng.integers(0, n_chips, 512)
+
+    def run():
+        process_tile_chips(tile, masks, coords, pts, labels, owner,
+                           chip_size=256, no_data_value=0,
+                           mask_types=["cloud"], masking_strategy="any",
+                           window_size=1)
+
+    iters = 1 if quick else 3
+    v = _sync_chips_per_sec(run, n_chips, iters)
+    emit("chip_math_throughput", v, "chips/sec (HLS tile 3660^2, 18 bands)")
+
+
+def bench_native_decode(quick: bool) -> None:
+    import tempfile
+
+    from instageo_tpu import native
+    from instageo_tpu.data.geotiff import write_geotiff
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(0)
+    n = 16 if quick else 64
+    paths = []
+    for i in range(n):
+        arr = rng.integers(0, 10000, (6, 224, 224)).astype(np.uint16)
+        p = tempfile.mktemp(suffix=".tif")
+        write_geotiff(p, arr, compress="deflate")
+        paths.append(p)
+    native.read_batch_native(paths, (6, 224, 224), np.uint16)  # warm cache
+    t0 = time.perf_counter()
+    native.read_batch_native(paths, (6, 224, 224), np.uint16)
+    emit("native_decode_throughput", n / (time.perf_counter() - t0),
+         "chips/sec (6-band 224^2 deflate)")
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    bench_native_decode(quick)
+    bench_chip_ops(quick)
+    bench_attention(quick)
+    bench_train_step(quick)
+
+
+if __name__ == "__main__":
+    main()
