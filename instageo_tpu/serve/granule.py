@@ -1,0 +1,116 @@
+"""Granule-scale inference: whole tiles -> stitched prediction rasters.
+
+The reference always round-trips through chip files (create chips on disk,
+run inference per chip, merge predictions back — SURVEY.md §3.4); this path
+streams an HBM-resident tile through the chip grid directly: device-side
+chip extraction (ops/chip_ops.extract_chips), fused preprocess + forward,
+and on-device stitching into one (H, W) prediction — no intermediate files,
+one GeoTIFF out. A 3660² HLS tile is ~196 chips of 256px: a handful of
+batches.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instageo_tpu.data.geotiff import Affine, write_geotiff
+from instageo_tpu.ops.chip_ops import extract_chips
+from instageo_tpu.ops.preprocess import preprocess_chips
+
+log = logging.getLogger(__name__)
+
+
+def granule_inference(
+    tile: np.ndarray,
+    model: Any,
+    variables: Dict,
+    mean: Sequence[float],
+    std: Sequence[float],
+    *,
+    chip_size: int = 224,
+    temporal_size: int = 1,
+    bands: Optional[Sequence[int]] = None,
+    constant_multiplier: float = 1.0,
+    is_reg_task: bool = False,
+    batch_size: int = 32,
+    no_data_value: float = 0,
+) -> Tuple[np.ndarray, float]:
+    """Predict over a whole (T·C, H, W) tile; returns (pred (H', W'), secs).
+
+    The tile is cropped to whole chips (H' = ⌊H/cs⌋·cs); chips never touch
+    the host between extraction and prediction.
+    """
+    t0 = time.time()
+    tc, h, w = tile.shape
+    ny, nx = h // chip_size, w // chip_size
+    coords = np.stack(np.meshgrid(np.arange(nx), np.arange(ny)), -1
+                      ).reshape(-1, 2).astype(np.int32)  # (N, [x, y])
+    n = len(coords)
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    bands_t = tuple(bands) if bands is not None else None
+
+    tile_dev = jax.device_put(tile)
+
+    @jax.jit
+    def predict_batch(coords_batch):
+        chips = extract_chips(tile_dev, coords_batch, chip_size)
+        x = preprocess_chips(chips, mean_a, std_a,
+                             temporal_size=temporal_size, bands=bands_t,
+                             constant_multiplier=constant_multiplier)
+        logits = model.apply(variables, x, train=False)
+        if is_reg_task:
+            return logits[:, 0].astype(jnp.float32)
+        return jnp.argmax(logits, axis=1).astype(jnp.int8)
+
+    out_dtype = np.float32 if is_reg_task else np.int8
+    pred = np.zeros((ny * chip_size, nx * chip_size), out_dtype)
+    n_pad = math.ceil(n / batch_size) * batch_size
+    coords_pad = np.concatenate(
+        [coords, np.zeros((n_pad - n, 2), np.int32)]) if n_pad > n else coords
+    for i in range(0, n_pad, batch_size):
+        cb = jnp.asarray(coords_pad[i : i + batch_size])
+        preds = np.asarray(jax.device_get(predict_batch(cb)))
+        for j, (cx, cy) in enumerate(coords_pad[i : i + batch_size]):
+            if i + j >= n:
+                break
+            pred[cy * chip_size : (cy + 1) * chip_size,
+                 cx * chip_size : (cx + 1) * chip_size] = preds[j]
+    dt = time.time() - t0
+    log.info("granule_inference: %d chips in %.2fs (%.1f chips/s)", n, dt,
+             n / dt if dt else 0)
+    return pred, dt
+
+
+def granule_inference_to_file(
+    tile_path_or_array,
+    out_path: str,
+    model: Any,
+    variables: Dict,
+    mean: Sequence[float],
+    std: Sequence[float],
+    transform: Optional[Affine] = None,
+    crs: Optional[int] = None,
+    **kwargs,
+) -> str:
+    """Whole-granule prediction -> one georeferenced GeoTIFF."""
+    if isinstance(tile_path_or_array, str):
+        from instageo_tpu.data.geotiff import GeoTiffReader
+
+        with GeoTiffReader(tile_path_or_array) as r:
+            tile = r.read()
+            transform = transform or r.transform
+            crs = crs or r.crs
+    else:
+        tile = np.asarray(tile_path_or_array)
+    pred, _ = granule_inference(tile, model, variables, mean, std, **kwargs)
+    write_geotiff(out_path, pred[None], transform=transform, crs=crs,
+                  nodata=-1 if pred.dtype == np.int8 else None)
+    return out_path
