@@ -66,6 +66,9 @@ class ConvTranspose2dTorch(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         pad = (k - 1 - p, k - 1 - p + op)
+        # No preferred_element_type here: a widened output dtype breaks the
+        # conv gradient under bf16 training (mixed-dtype backward conv); the
+        # MXU accumulates bf16 convs in f32 internally regardless.
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -73,7 +76,6 @@ class ConvTranspose2dTorch(nn.Module):
             padding=(pad, pad),
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         return (y + bias).astype(self.dtype)
 
