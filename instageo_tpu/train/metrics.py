@@ -62,7 +62,13 @@ class ConfusionMatrix:
         y_pred: jnp.ndarray,
         ignore_index: Optional[int] = None,
     ) -> "ConfusionMatrix":
-        """Scatter-add a batch. Any shapes; invalid labels are masked out."""
+        """Accumulate a batch. Any shapes; invalid labels are masked out.
+
+        The CM is computed as a one-hot contraction (``Tᵀ·P``) rather than a
+        scatter-add: a megapixel batch's scatter serializes on TPU (~seconds
+        per step), while the (N, C)×(N, C) matmul runs on the MXU in
+        microseconds.
+        """
         c = self.matrix.shape[0]
         y_true = y_true.reshape(-1).astype(jnp.int32)
         y_pred = y_pred.reshape(-1).astype(jnp.int32)
@@ -71,10 +77,14 @@ class ConfusionMatrix:
             valid = y_true != ignore_index
         yt = jnp.clip(y_true, 0, c - 1)
         yp = jnp.clip(y_pred, 0, c - 1)
-        idx = yt * c + yp
-        upd = jnp.zeros(c * c, jnp.int32).at[idx].add(valid.astype(jnp.int32))
+        t_oh = jax.nn.one_hot(yt, c, dtype=jnp.bfloat16)
+        t_oh = t_oh * valid[:, None].astype(jnp.bfloat16)
+        p_oh = jax.nn.one_hot(yp, c, dtype=jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            t_oh, p_oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return ConfusionMatrix(
-            matrix=self.matrix + upd.reshape(c, c),
+            matrix=self.matrix + upd.astype(jnp.int32),
             total=self.total + valid.sum(dtype=jnp.int32),
         )
 
