@@ -108,6 +108,9 @@ class Trainer:
         self.teacher = teacher
         self.monitor_mode = "min" if self.is_reg else "max"
         self.best_metric = float("inf") if self.is_reg else -float("inf")
+        tpu_cfg = cfg.get("tpu") or {}
+        self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
+            and bool(tpu_cfg.get("bf16_transfer", True))
 
         self.tx = make_optimizer(
             variables["params"],
@@ -246,6 +249,12 @@ class Trainer:
         target = max(batch_size, int(np.asarray(x).shape[0]))
         target = ((target + n_dev - 1) // n_dev) * n_dev
         x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), target, fill)
+        if self._transfer_bf16:
+            # Model computes in bf16 anyway; casting on the host halves the
+            # host->device bytes of the (normalized f32) batch.
+            import ml_dtypes
+
+            x = x.astype(ml_dtypes.bfloat16)
         return self._shard(x, y)
 
     def run_train_epoch(self, batches: Iterable, rng: jax.Array,
