@@ -486,10 +486,17 @@ class BaseRasterPipeline(BaseDataPipeline):
         batch = DATA_PIPELINE_SETTINGS.BATCH_SIZE
 
         def one(row: pd.Series) -> Optional[Tuple[str, Optional[str]]]:
-            loaded = get_tile(row["stac_items_str"])
-            if loaded is None:
+            # Per-row try/except with continue (reference batch-level
+            # resilience, data_pipeline.py:637-646): one bad row must not
+            # kill the batch.
+            try:
+                loaded = get_tile(row["stac_items_str"])
+                if loaded is None:
+                    return None
+                return self.process_row(row.to_dict(), loaded)
+            except Exception as e:
+                log.error("Row %s failed: %s", row.get("label_filename"), e)
                 return None
-            return self.process_row(row.to_dict(), loaded)
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             for i in range(0, len(obsv_records), batch):

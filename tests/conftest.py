@@ -20,3 +20,14 @@ os.environ.setdefault("TESTING", "true")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles the same tiny-model
+# programs in many tests; caching them across processes/runs cuts minutes.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/instageo_jax_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
