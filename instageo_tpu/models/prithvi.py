@@ -387,6 +387,7 @@ class PrithviViT(nn.Module):
     coords_scale_learn: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -451,8 +452,12 @@ class PrithviViT(nn.Module):
             [jnp.broadcast_to(cls, (tokens.shape[0], 1, self.embed_dim)), tokens], axis=1
         )
 
+        # Rematerialization trades recompute for activation memory — the
+        # standard lever for fitting Prithvi-600M training on one chip
+        # (jax.checkpoint per transformer block).
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
-            tokens = Block(
+            tokens = block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,

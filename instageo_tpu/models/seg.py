@@ -133,6 +133,7 @@ class PrithviSeg(nn.Module):
     embed_dims: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
 
     def setup(self) -> None:
         arch = get_arch(
@@ -156,6 +157,7 @@ class PrithviSeg(nn.Module):
             coords_scale_learn=arch.coords_scale_learn,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
         )
         if self.embed_dims is not None:
             dims = tuple(self.embed_dims)
@@ -227,6 +229,7 @@ def create_prithvi_seg(
     depth: int = -1,
     dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> PrithviSeg:
     """Factory mirroring the reference ``PrithviSeg(...)`` constructor surface."""
     if variant not in PRITHVI_ARCHS:
@@ -240,4 +243,5 @@ def create_prithvi_seg(
         depth=depth,
         dtype=dtype,
         attn_impl=attn_impl,
+        remat=remat,
     )

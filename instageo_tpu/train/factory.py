@@ -46,6 +46,7 @@ def build_model(cfg: Any) -> PrithviSeg:
         depth=int(cfg.model.get("depth", -1)),
         dtype=_dtype_from_cfg(cfg),
         attn_impl=str((cfg.get("tpu") or {}).get("attn_impl", "xla")),
+        remat=bool((cfg.get("tpu") or {}).get("remat", False)),
     )
 
 
