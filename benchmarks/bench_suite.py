@@ -10,10 +10,13 @@ chip-math throughput, and native decode throughput.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sync_chips_per_sec(fn, n_chips: int, iters: int) -> float:
