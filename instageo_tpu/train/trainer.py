@@ -120,25 +120,25 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
             freeze_backbone=bool(cfg.model.get("freeze_backbone", False)),
         )
-        rep = replicated(self.mesh)
+        from instageo_tpu.parallel.mesh import replicate_tree, zero1_place
+
         opt_state = self.tx.init(variables["params"])
-        if bool((cfg.get("tpu") or {}).get("zero1", False)):
+        if bool((cfg.get("tpu") or {}).get("zero1", False)) and                 int(self.mesh.devices.size) > 1:
             # ZeRO-1: shard optimizer moments over the data axis
             # (SURVEY.md §2.5 — the only sharding beyond DP this model
             # family warrants).
-            from instageo_tpu.parallel.mesh import zero1_place
-
             opt_state = zero1_place(opt_state, self.mesh)
         else:
-            opt_state = jax.device_put(opt_state, rep)
+            opt_state = replicate_tree(opt_state, self.mesh)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=jax.device_put(variables["params"], rep),
-            batch_stats=jax.device_put(variables.get("batch_stats", {}), rep),
+            params=replicate_tree(variables["params"], self.mesh),
+            batch_stats=replicate_tree(variables.get("batch_stats", {}),
+                                       self.mesh),
             opt_state=opt_state,
         )
         if teacher is not None:
-            self._teacher_vars = jax.device_put(teacher[1], rep)
+            self._teacher_vars = replicate_tree(teacher[1], self.mesh)
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -238,8 +238,10 @@ class Trainer:
     # -- epoch loops -------------------------------------------------------
 
     def _shard(self, x: np.ndarray, y: np.ndarray):
-        sh = batch_sharding(self.mesh)
-        return jax.device_put(x, sh), jax.device_put(y, sh)
+        from instageo_tpu.parallel.mesh import shard_batch
+
+        out = shard_batch((x, y), self.mesh)
+        return out[0], out[1]
 
     def _prepare(self, x, y, batch_size):
         fill = self.ignore_index if not self.is_reg else float(self.ignore_index)
@@ -387,10 +389,11 @@ class Trainer:
             restored = ocp.StandardCheckpointer().restore(
                 os.path.abspath(ckpt_path), target=target)
             opt_state = jax.device_get(self.state.opt_state)
-        rep = replicated(self.mesh)
+        from instageo_tpu.parallel.mesh import replicate_tree
+
         self.state = TrainState(
             step=jnp.asarray(restored["step"]),
-            params=jax.device_put(restored["params"], rep),
-            batch_stats=jax.device_put(restored["batch_stats"], rep),
-            opt_state=jax.device_put(opt_state, rep),
+            params=replicate_tree(restored["params"], self.mesh),
+            batch_stats=replicate_tree(restored["batch_stats"], self.mesh),
+            opt_state=replicate_tree(opt_state, self.mesh),
         )
