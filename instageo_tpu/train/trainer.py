@@ -31,10 +31,11 @@ import optax
 
 from instageo_tpu.parallel.mesh import (
     Mesh,
-    batch_sharding,
     make_mesh,
     pad_batch,
-    replicated,
+    replicate_tree,
+    shard_batch,
+    zero1_place,
 )
 from instageo_tpu.train.losses import (
     kl_distillation_loss,
@@ -120,10 +121,10 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
             freeze_backbone=bool(cfg.model.get("freeze_backbone", False)),
         )
-        from instageo_tpu.parallel.mesh import replicate_tree, zero1_place
-
         opt_state = self.tx.init(variables["params"])
-        if bool((cfg.get("tpu") or {}).get("zero1", False)) and                 int(self.mesh.devices.size) > 1:
+        use_zero1 = (bool((cfg.get("tpu") or {}).get("zero1", False))
+                     and int(self.mesh.devices.size) > 1)
+        if use_zero1:
             # ZeRO-1: shard optimizer moments over the data axis
             # (SURVEY.md §2.5 — the only sharding beyond DP this model
             # family warrants).
@@ -238,8 +239,6 @@ class Trainer:
     # -- epoch loops -------------------------------------------------------
 
     def _shard(self, x: np.ndarray, y: np.ndarray):
-        from instageo_tpu.parallel.mesh import shard_batch
-
         out = shard_batch((x, y), self.mesh)
         return out[0], out[1]
 
@@ -389,8 +388,6 @@ class Trainer:
             restored = ocp.StandardCheckpointer().restore(
                 os.path.abspath(ckpt_path), target=target)
             opt_state = jax.device_get(self.state.opt_state)
-        from instageo_tpu.parallel.mesh import replicate_tree
-
         self.state = TrainState(
             step=jnp.asarray(restored["step"]),
             params=replicate_tree(restored["params"], self.mesh),
