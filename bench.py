@@ -24,7 +24,7 @@ def main() -> None:
 
     devices = jax.devices()
     platform = devices[0].platform
-    batch = 256 if platform == "tpu" else 8
+    batch = 512 if platform == "tpu" else 8
 
     model = create_prithvi_seg(
         "prithvi_eo_v1_100", num_classes=2, temporal_step=1,
