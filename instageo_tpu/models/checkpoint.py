@@ -277,6 +277,114 @@ def seg_variables_from_torch(
     return {"params": params, "batch_stats": batch_stats}
 
 
+# ---------------------------------------------------------------------------
+# Reverse conversion: Flax variables -> reference torch layout (export)
+# ---------------------------------------------------------------------------
+
+
+def _linear_to_torch(sd: Dict, prefix: str, p: Mapping) -> None:
+    sd[f"{prefix}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _layernorm_to_torch(sd: Dict, prefix: str, p: Mapping) -> None:
+    sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def vit_params_to_torch(params: Mapping, arch: PrithviArch,
+                        patch_size: Optional[Sequence[int]] = None
+                        ) -> Dict[str, np.ndarray]:
+    """Our ViT param tree -> reference torch encoder state dict.
+
+    Inverse of :func:`vit_params_from_torch`; lets models fine-tuned here be
+    loaded by the reference PyTorch stack.
+    """
+    patch = tuple(patch_size or arch.patch_size)
+    sd: Dict[str, np.ndarray] = {}
+    kernel = np.asarray(params["patch_embed"]["proj"]["kernel"])  # (C·p, D)
+    d = kernel.shape[1]
+    c = kernel.shape[0] // int(np.prod(patch))
+    sd["patch_embed.proj.weight"] = kernel.T.reshape(d, c, *patch)
+    if "bias" in params["patch_embed"]["proj"]:
+        sd["patch_embed.proj.bias"] = np.asarray(
+            params["patch_embed"]["proj"]["bias"])
+    sd["cls_token"] = np.asarray(params["cls_token"])
+    for i in range(arch.depth):
+        blk = params[f"blocks_{i}"]
+        _layernorm_to_torch(sd, f"blocks.{i}.norm1", blk["norm1"])
+        _layernorm_to_torch(sd, f"blocks.{i}.norm2", blk["norm2"])
+        _linear_to_torch(sd, f"blocks.{i}.attn.qkv", blk["attn"]["qkv"])
+        _linear_to_torch(sd, f"blocks.{i}.attn.proj", blk["attn"]["proj"])
+        _linear_to_torch(sd, f"blocks.{i}.mlp.fc1", blk["mlp"]["fc1"])
+        _linear_to_torch(sd, f"blocks.{i}.mlp.fc2", blk["mlp"]["fc2"])
+    _layernorm_to_torch(sd, "norm", params["norm"])
+    if "temporal_embed_enc" in params:
+        sd["temporal_embed_enc.scale"] = np.asarray(
+            params["temporal_embed_enc"]["scale"])
+    if "location_embed_enc" in params:
+        sd["location_embed_enc.scale"] = np.asarray(
+            params["location_embed_enc"]["scale"])
+    return sd
+
+
+def seg_variables_to_torch(variables: Mapping, arch: PrithviArch,
+                           num_up_blocks: int = 4,
+                           prefix: str = "net.") -> Dict[str, np.ndarray]:
+    """Our PrithviSeg variables -> reference Lightning state-dict layout.
+
+    Inverse of :func:`seg_variables_from_torch` (same Sequential indices:
+    blocks 0-3 = [ConvT, Dropout, Conv, BN, ReLU], head = Dropout[4] +
+    Conv1x1[5]).
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    enc = vit_params_to_torch(params["prithvi_encoder"], arch)
+    for k, v in enc.items():
+        sd[f"prithvi_encoder.{k}"] = v
+    for i in range(num_up_blocks):
+        up = params[f"up_{i}"]
+        base = f"segmentation_head.{i}"
+        # our flipped-HWIO correlation kernel -> torch ConvT (I, O, kh, kw)
+        k = np.asarray(up["convt"]["kernel"])[::-1, ::-1]
+        sd[f"{base}.0.weight"] = k.transpose(2, 3, 0, 1)
+        sd[f"{base}.0.bias"] = np.asarray(up["convt"]["bias"])
+        sd[f"{base}.2.weight"] = np.asarray(
+            up["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{base}.2.bias"] = np.asarray(up["conv"]["bias"])
+        sd[f"{base}.3.weight"] = np.asarray(up["bn"]["scale"])
+        sd[f"{base}.3.bias"] = np.asarray(up["bn"]["bias"])
+        bn_stats = batch_stats.get(f"up_{i}", {}).get("bn", {})
+        sd[f"{base}.3.running_mean"] = np.asarray(
+            bn_stats.get("mean", np.zeros_like(up["bn"]["bias"])))
+        sd[f"{base}.3.running_var"] = np.asarray(
+            bn_stats.get("var", np.ones_like(up["bn"]["scale"])))
+    head_idx = num_up_blocks + 1
+    sd[f"segmentation_head.{head_idx}.weight"] = np.asarray(
+        params["head_conv"]["kernel"]).transpose(3, 2, 0, 1)
+    sd[f"segmentation_head.{head_idx}.bias"] = np.asarray(
+        params["head_conv"]["bias"])
+    if prefix:
+        sd = {prefix + k: v for k, v in sd.items()}
+    return sd
+
+
+def export_torch_checkpoint(variables: Mapping, arch: PrithviArch,
+                            path: str) -> str:
+    """Write a reference-compatible ``.ckpt`` (torch) or ``.npz`` file."""
+    sd = seg_variables_to_torch(variables, arch)
+    if path.endswith(".npz"):
+        np.savez(path, **sd)
+        return path
+    import torch
+
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}}, path)
+    return path
+
+
 def load_pretrained_encoder(
     path: str,
     arch: PrithviArch,

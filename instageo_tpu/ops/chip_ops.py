@@ -201,6 +201,15 @@ def process_tile_chips(
     p_rc = np.zeros((n, max_points_per_chip, 2), np.int32)
     p_lab = np.zeros((n, max_points_per_chip), np.float32)
     p_valid = np.zeros((n, max_points_per_chip), bool)
+    counts = np.bincount(point_chip_idx[point_chip_idx >= 0], minlength=n)
+    if counts.size and counts.max() > max_points_per_chip:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "process_tile_chips: %d chips exceed max_points_per_chip=%d; "
+            "excess observations are dropped (raise the cap if labels look "
+            "sparse)", int((counts > max_points_per_chip).sum()),
+            max_points_per_chip)
     for ci in range(n):
         sel = np.nonzero(point_chip_idx == ci)[0][:max_points_per_chip]
         k = len(sel)
