@@ -148,10 +148,14 @@ def main(argv: Optional[List[str]] = None) -> Any:
         exp_logger.log_config(cfg)
         tracker = EmissionsTracker(name="train", output_dir=run_dir)
         tracker.start()
-        history = trainer.fit(lambda: iter(train_loader), lambda: iter(val_loader),
-                              checkpointer=ckpt, seed=SEED,
-                              log_fn=lambda m: exp_logger.log_metrics(
-                                  m, step=m.get("epoch")))
+        from instageo_tpu.utils.telemetry import profile_trace
+
+        profile = bool((cfg.get("tpu") or {}).get("profile", False))
+        with profile_trace(os.path.join(run_dir, "profile"), enabled=profile):
+            history = trainer.fit(
+                lambda: iter(train_loader), lambda: iter(val_loader),
+                checkpointer=ckpt, seed=SEED,
+                log_fn=lambda m: exp_logger.log_metrics(m, step=m.get("epoch")))
         carbon = tracker.stop()
         duration = time.time() - start_time
         # Model complexity from XLA cost analysis (replaces ptflops logging,
