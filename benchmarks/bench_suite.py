@@ -113,16 +113,17 @@ def bench_chip_ops(quick: bool) -> None:
     import jax
 
     rng = np.random.default_rng(0)
+    side = 1830 if quick else 3660  # quick mode quarters the HBM transfer
     # Pre-place the tile in HBM: it is loaded once and chipped many times
     # in the real pipeline; jnp.asarray inside the op is then a no-op.
     tile = jax.device_put(
-        rng.integers(1, 10000, size=(18, 3660, 3660)).astype(np.uint16))
+        rng.integers(1, 10000, size=(18, side, side)).astype(np.uint16))
     masks = jax.device_put(
-        rng.integers(0, 64, size=(3, 3660, 3660)).astype(np.int32))
-    n_chips = (3660 // 256) ** 2
-    xs, ys = np.meshgrid(np.arange(3660 // 256), np.arange(3660 // 256))
+        rng.integers(0, 64, size=(3, side, side)).astype(np.int32))
+    n_chips = (side // 256) ** 2
+    xs, ys = np.meshgrid(np.arange(side // 256), np.arange(side // 256))
     coords = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
-    pts = rng.integers(0, 3584, size=(512, 2))
+    pts = rng.integers(0, side - 76, size=(512, 2))
     labels = rng.integers(0, 2, 512).astype(np.float32)
     owner = rng.integers(0, n_chips, 512)
 
@@ -134,7 +135,7 @@ def bench_chip_ops(quick: bool) -> None:
 
     iters = 1 if quick else 3
     v = _sync_chips_per_sec(run, n_chips, iters)
-    emit("chip_math_throughput", v, "chips/sec (HLS tile 3660^2, 18 bands)")
+    emit("chip_math_throughput", v, f"chips/sec (HLS tile {side}^2, 18 bands)")
 
 
 def bench_native_decode(quick: bool) -> None:
