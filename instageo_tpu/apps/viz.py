@@ -13,14 +13,13 @@ import base64
 import io
 import json
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
 from instageo_tpu.data.crs import Transformer
 from instageo_tpu.data.geotiff import GeoTiffReader
-from instageo_tpu.webapp.tiler import latlon_to_mercator
 
 _REDS = [
     (255, 245, 240), (254, 224, 210), (252, 187, 161), (252, 146, 114),

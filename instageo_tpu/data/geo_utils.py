@@ -8,7 +8,7 @@ column. Behavior parity per-function is noted inline.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Set, Tuple
+from typing import List, Optional, Set, Tuple
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,7 @@ import logging
 import os
 from abc import ABC, abstractmethod
 from concurrent.futures import ThreadPoolExecutor, as_completed
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -23,7 +23,7 @@ import pandas as pd
 from instageo_tpu.data.crs import Transformer, to_mgrs
 from instageo_tpu.data.geotiff import Affine, write_geotiff
 from instageo_tpu.data.settings import NO_DATA_VALUES, DATA_PIPELINE_SETTINGS
-from instageo_tpu.ops.chip_ops import MASK_DECODING_POS, process_tile_chips
+from instageo_tpu.ops.chip_ops import process_tile_chips
 
 log = logging.getLogger(__name__)
 

@@ -9,7 +9,7 @@ earthaccess sessions — hls_utils.py:125-170); set ``EARTHDATA_TOKEN``.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 import pandas as pd

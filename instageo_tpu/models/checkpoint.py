@@ -21,7 +21,7 @@ an ``.npz``); no torch dependency in this module.
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ segmentation-head kernel sizes.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence
 
 # Band identity is a plain string enum-like set; order matters for patch-embed

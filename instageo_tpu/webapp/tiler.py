@@ -13,8 +13,7 @@ from __future__ import annotations
 import io
 import math
 import os
-from functools import lru_cache
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 from PIL import Image
