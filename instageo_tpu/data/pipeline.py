@@ -327,12 +327,15 @@ class BaseDataPipeline(ABC):
         state_path = os.path.join(self.output_directory, "processed_tiles.json")
         manifest_rows: List[Dict[str, str]] = []
 
-        def process(key: str) -> List[Dict[str, str]]:
+        def process(key: str) -> Optional[List[Dict[str, str]]]:
             if self._is_processed(key, state_path):
                 return []
             loaded = self.load_tile(key, dataset)
             if loaded is None:
-                return []
+                # Load/decode failed (e.g. transient network error): return a
+                # sentinel so the key is NOT marked processed and a re-run
+                # retries it — marking it would silently drop the tile forever.
+                return None
             tile_array, mask_array, transform, crs, tile_id = loaded
             df = obsv_records[key]
             chips, seg_maps = create_and_save_chips_with_seg_maps(
@@ -358,6 +361,10 @@ class BaseDataPipeline(ABC):
                 key = futs[fut]
                 try:
                     rows = fut.result()
+                    if rows is None:
+                        log.warning("Tile %s failed to load; left unmarked "
+                                    "for retry on resume", key)
+                        continue
                     manifest_rows.extend(rows)
                     self._mark_processed(key, state_path)
                 except Exception as e:

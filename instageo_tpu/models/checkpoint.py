@@ -123,6 +123,9 @@ def filter_checkpoint_vit(
             continue
         if k.startswith("encoder."):
             k = k[len("encoder.") :]
+        # terratorch-style checkpoints name the patch embed "projection";
+        # normalize so downstream converters can rely on "proj".
+        k = k.replace("patch_embed.projection.", "patch_embed.proj.")
         clean[k] = _to_numpy(v)
 
     # Depth truncation: keep blocks [0, depth).
@@ -134,9 +137,7 @@ def filter_checkpoint_vit(
 
     proj_key = None
     for k in clean:
-        if k.endswith("patch_embed.proj.weight") or k.endswith(
-            "patch_embed.projection.weight"
-        ):
+        if k.endswith("patch_embed.proj.weight"):
             proj_key = k
             break
     if proj_key is None:

@@ -22,7 +22,7 @@ host-side API for non-jit consumers (data QA, the web backend).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -72,9 +72,12 @@ class ConfusionMatrix:
         c = self.matrix.shape[0]
         y_true = y_true.reshape(-1).astype(jnp.int32)
         y_pred = y_pred.reshape(-1).astype(jnp.int32)
-        valid = jnp.ones_like(y_true, dtype=bool)
+        # Out-of-range labels/preds (stray negatives, >= C) are masked, not
+        # clipped into edge classes, so they never skew accuracy/IoU.
+        valid = ((y_true >= 0) & (y_true < c)
+                 & (y_pred >= 0) & (y_pred < c))
         if ignore_index is not None:
-            valid = y_true != ignore_index
+            valid &= y_true != ignore_index
         yt = jnp.clip(y_true, 0, c - 1)
         yp = jnp.clip(y_pred, 0, c - 1)
         t_oh = jax.nn.one_hot(yt, c, dtype=jnp.bfloat16)
@@ -126,6 +129,14 @@ class ConfusionMatrix:
 # ---------------------------------------------------------------------------
 
 
+def _hist_factors(n_bins: int) -> Tuple[int, int]:
+    """Factor n_bins into (hi, lo) with hi the largest divisor <= sqrt."""
+    h = int(n_bins ** 0.5)
+    while n_bins % h:
+        h -= 1
+    return h, n_bins // h
+
+
 @flax.struct.dataclass
 class AucHistogram:
     """Device-side histogram ROC-AUC state (reference metrics.py:179-281)."""
@@ -146,8 +157,16 @@ class AucHistogram:
         y_score: jnp.ndarray,
         valid: Optional[jnp.ndarray] = None,
     ) -> "AucHistogram":
-        """y_true (N,), y_score (N, C) probabilities in [0, 1]."""
+        """y_true (N,), y_score (N, C) probabilities in [0, 1].
+
+        Histogramming is done as one-hot matmuls, not scatter-adds: a
+        megapixel scatter serializes on TPU, while two (h, N)×(N, l)
+        contractions per class run on the MXU. The bin index is decomposed
+        as ``bin = hi·l + lo`` so the one-hots stay (N, 32) instead of
+        (N, 1024), keeping peak memory ~32x smaller.
+        """
         c, n_bins = self.pos_hist.shape
+        nh, nl = _hist_factors(n_bins)
         y_true = y_true.reshape(-1).astype(jnp.int32)
         y_score = y_score.reshape(-1, c)
         if valid is None:
@@ -156,22 +175,24 @@ class AucHistogram:
             valid = valid.reshape(-1)
         # bin = floor(clip(score) * (n_bins - 1))  (reference _bin, :209-212)
         bins = jnp.floor(jnp.clip(y_score, 0.0, 1.0) * (n_bins - 1)).astype(jnp.int32)
-        is_pos = y_true[:, None] == jnp.arange(c)[None, :]
-        v = valid[:, None]
-        flat = bins + jnp.arange(c)[None, :] * n_bins
-        pos_upd = (
-            jnp.zeros(c * n_bins, jnp.int32)
-            .at[flat.reshape(-1)]
-            .add((is_pos & v).reshape(-1).astype(jnp.int32))
-        )
-        neg_upd = (
-            jnp.zeros(c * n_bins, jnp.int32)
-            .at[flat.reshape(-1)]
-            .add(((~is_pos) & v).reshape(-1).astype(jnp.int32))
-        )
+        contract = (((0,), (0,)), ((), ()))
+        pos_rows, neg_rows = [], []
+        for ci in range(c):  # C is small and static (2-13 classes)
+            oh_hi = jax.nn.one_hot(bins[:, ci] // nl, nh, dtype=jnp.bfloat16)
+            oh_lo = jax.nn.one_hot(bins[:, ci] % nl, nl, dtype=jnp.bfloat16)
+            is_pos = (y_true == ci) & valid
+            is_neg = (y_true != ci) & valid
+            pos2d = jax.lax.dot_general(
+                oh_hi * is_pos[:, None].astype(jnp.bfloat16), oh_lo,
+                contract, preferred_element_type=jnp.float32)
+            neg2d = jax.lax.dot_general(
+                oh_hi * is_neg[:, None].astype(jnp.bfloat16), oh_lo,
+                contract, preferred_element_type=jnp.float32)
+            pos_rows.append(pos2d.reshape(n_bins))
+            neg_rows.append(neg2d.reshape(n_bins))
         return AucHistogram(
-            pos_hist=self.pos_hist + pos_upd.reshape(c, n_bins),
-            neg_hist=self.neg_hist + neg_upd.reshape(c, n_bins),
+            pos_hist=self.pos_hist + jnp.stack(pos_rows).astype(jnp.int32),
+            neg_hist=self.neg_hist + jnp.stack(neg_rows).astype(jnp.int32),
         )
 
     def score(self, include_per_class: bool = True) -> Dict:

@@ -82,15 +82,20 @@ def verify_jwt(token: str, domain: Optional[str] = None,
     except Exception:
         raise AuthError("Invalid signature")
 
+    # exp and iss are REQUIRED (jose's decode rejects tokens missing them
+    # when issuer= is passed): a token without exp must not live forever,
+    # and a token without iss must not skip issuer validation.
     now = time.time()
-    if payload.get("exp") and payload["exp"] < now:
+    if "exp" not in payload:
+        raise AuthError("Token missing exp claim")
+    if payload["exp"] < now:
         raise AuthError("Token expired")
     aud = payload.get("aud")
     auds = aud if isinstance(aud, list) else [aud]
     if audience and audience not in auds:
         raise AuthError("Invalid audience")
     issuer = f"https://{domain}/"
-    if payload.get("iss") and payload["iss"] != issuer:
+    if payload.get("iss") != issuer:
         raise AuthError("Invalid issuer")
     return payload
 

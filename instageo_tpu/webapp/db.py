@@ -86,6 +86,13 @@ def init_db(db_path: Optional[str] = None) -> None:
     get_conn(db_path)
 
 
+def reset_local_conns() -> None:
+    """Drop cached per-thread connections (call in a freshly forked child —
+    sqlite connections must not be shared across fork)."""
+    for key in list(vars(_local)):
+        delattr(_local, key)
+
+
 # -- users -------------------------------------------------------------------
 
 

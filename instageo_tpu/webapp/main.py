@@ -243,6 +243,11 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     app["workers"] = (queue.start_workers(db_path=app["db_path"])
                       if start_workers else [])
 
+    async def _stop_workers(app: web.Application) -> None:
+        queue.stop_workers(app["workers"])  # non-daemonic: must be reaped
+
+    app.on_cleanup.append(_stop_workers)
+
     app.router.add_post("/api/run-model", run_model)
     app.router.add_get("/api/task/{task_id}", get_task)
     app.router.add_get("/api/tasks", list_tasks_handler)

@@ -13,6 +13,7 @@ import importlib
 import json
 import logging
 import multiprocessing
+import os
 import time
 import traceback
 import uuid
@@ -102,6 +103,60 @@ def run_job(job: Dict, db_path: Optional[str] = None) -> bool:
         return False
 
 
+def _fail_task_for(job: Dict, reason: str,
+                   db_path: Optional[str] = None) -> None:
+    """Mark the job's owning task failed at the stage its queue maps to."""
+    if not job.get("task_id"):
+        return
+    from instageo_tpu.webapp.tasks import Task
+
+    task = Task.load(job["task_id"], db_path)
+    if task and task.status not in ("completed", "failed"):
+        stage = {
+            QUEUE_DATA_PROCESSING: "data_processing",
+            QUEUE_MODEL_PREDICTION: "model_prediction",
+            QUEUE_VISUALIZATION: "visualization_preparation",
+        }.get(job["queue"], "data_processing")
+        task.fail(stage, reason)
+
+
+def _job_child(job: Dict, db_path: Optional[str]) -> None:
+    db.reset_local_conns()  # never reuse the parent's sqlite fds post-fork
+    run_job(job, db_path)
+
+
+def run_job_isolated(job: Dict, db_path: Optional[str] = None) -> bool:
+    """Run a claimed job in a killable child process, enforcing timeout_s.
+
+    This is the reference's RQ work-horse model (rq kills the horse on
+    timeout): without it a hung job blocks its single worker loop forever
+    and the queue is wedged even after reap_timeouts marks it timed_out.
+    """
+    timeout_s = job.get("timeout_s") or DEFAULT_TIMEOUTS.get(job["queue"], 3600.0)
+    proc = multiprocessing.Process(target=_job_child, args=(job, db_path))
+    proc.start()
+    proc.join(timeout_s)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join(10.0)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+        reason = f"killed after exceeding {timeout_s}s timeout"
+        _finish(job["job_id"], JobStatus.TIMED_OUT, error=reason,
+                db_path=db_path)
+        _fail_task_for(job, reason, db_path)
+        return False
+    current = get_job(job["job_id"], db_path)
+    if current and current["status"] == JobStatus.STARTED:
+        # Child died without recording an outcome (segfault, OOM-kill...).
+        reason = f"worker child exited with rc={proc.exitcode}"
+        _finish(job["job_id"], JobStatus.FAILED, error=reason, db_path=db_path)
+        _fail_task_for(job, reason, db_path)
+        return False
+    return bool(current) and current["status"] == JobStatus.FINISHED
+
+
 def reap_timeouts(db_path: Optional[str] = None) -> int:
     """Mark started jobs past their timeout as timed_out and fail the task.
 
@@ -120,26 +175,26 @@ def reap_timeouts(db_path: Optional[str] = None) -> int:
                     error=f"timed out after {row['timeout_s']}s",
                     db_path=db_path)
             reaped += 1
-            if row["task_id"]:
-                from instageo_tpu.webapp.tasks import Task
-
-                task = Task.load(row["task_id"], db_path)
-                if task and task.status not in ("completed", "failed"):
-                    stage = {
-                        QUEUE_DATA_PROCESSING: "data_processing",
-                        QUEUE_MODEL_PREDICTION: "model_prediction",
-                        QUEUE_VISUALIZATION: "visualization_preparation",
-                    }.get(row["queue"], "data_processing")
-                    task.fail(stage, f"stage timed out after {row['timeout_s']}s")
+            _fail_task_for(dict(row), f"stage timed out after "
+                           f"{row['timeout_s']}s", db_path)
     return reaped
 
 
-def work_once(queue: str, db_path: Optional[str] = None) -> bool:
-    """Claim + run one job; returns True if a job was processed."""
+def work_once(queue: str, db_path: Optional[str] = None,
+              isolate: bool = False) -> bool:
+    """Claim + run one job; returns True if a job was processed.
+
+    ``isolate`` runs the job in a killable child process with the queue's
+    timeout enforced (production worker behavior); the in-process path is
+    for tests/CLI draining.
+    """
     job = claim_next(queue, db_path)
     if job is None:
         return False
-    run_job(job, db_path)
+    if isolate:
+        run_job_isolated(job, db_path)
+    else:
+        run_job(job, db_path)
     return True
 
 
@@ -167,27 +222,55 @@ def worker_loop(queue: str, db_path: Optional[str] = None,
     """Blocking worker: the process body of an ``rq worker <queue>``."""
     log.info("Worker started for queue %s", queue)
     last_reap = 0.0
+    parent = os.getppid()
     while stop_event is None or not stop_event.is_set():
+        if os.getppid() != parent:
+            # Non-daemonic worker orphaned by a crashed parent: exit instead
+            # of lingering (we can't be daemonic — jobs run in child procs).
+            log.info("Parent gone; worker for %s exiting", queue)
+            return
         if time.monotonic() - last_reap > 60:
             try:
                 reap_timeouts(db_path)
             except Exception as e:  # reaping must never kill the worker
                 log.warning("timeout reap failed: %s", e)
             last_reap = time.monotonic()
-        if not work_once(queue, db_path):
+        if not work_once(queue, db_path, isolate=True):
             time.sleep(poll_interval)
+
+
+def _worker_main(queue: str, db_path: Optional[str]) -> None:
+    db.reset_local_conns()
+    worker_loop(queue, db_path)
 
 
 def start_workers(queues=ALL_QUEUES, db_path: Optional[str] = None
                   ) -> List[multiprocessing.Process]:
-    """Spawn one worker process per queue (docker-compose analogue)."""
+    """Spawn one worker process per queue (docker-compose analogue).
+
+    Workers are non-daemonic because each job runs in its own child process
+    (daemonic processes may not have children); the app terminates them on
+    shutdown.
+    """
     procs = []
     for q in queues:
-        p = multiprocessing.Process(target=worker_loop, args=(q, db_path),
-                                    daemon=True, name=f"worker-{q}")
+        p = multiprocessing.Process(target=_worker_main, args=(q, db_path),
+                                    name=f"worker-{q}")
         p.start()
         procs.append(p)
     return procs
+
+
+def stop_workers(procs: List[multiprocessing.Process]) -> None:
+    """Terminate worker processes (app shutdown hook)."""
+    for p in procs:
+        if p.is_alive():
+            p.terminate()
+    for p in procs:
+        p.join(10.0)
+        if p.is_alive():
+            p.kill()
+            p.join()
 
 
 def get_queues_status(db_path: Optional[str] = None) -> Dict[str, Dict]:

@@ -117,3 +117,43 @@ def test_s1_points_pipeline_float32(tmp_path, monkeypatch):
         assert r.count == 2  # vv, vh
         assert r.dtypes[0] == "float32"
         assert r.nodata == -1.0
+
+
+def test_failed_tile_is_retried_on_resume(tmp_path, monkeypatch):
+    """A tile whose load fails must NOT be marked processed: the resume
+    contract requires the next run to retry it (ADVICE round-1, medium)."""
+    import json
+
+    from instageo_tpu.data.sources import s2
+    from instageo_tpu.data.stac import create_records_with_items
+
+    item, df = _tile_world(tmp_path, ["B02", "B03", "B04", "B8A", "B11", "B12"],
+                           mask_band="SCL")
+    monkeypatch.setattr(StacClient, "search", lambda self, **kw: [item])
+    best = s2.add_s2_stac_items(s2.get_client(), df, num_steps=1,
+                                temporal_tolerance=5)
+    records, dataset = create_records_with_items(best, "s2_granules", "s2_items")
+
+    out_dir = tmp_path / "out"
+    pipe = s2.S2PointsPipeline(
+        output_directory=str(out_dir), chip_size=CHIP, src_crs=4326,
+        mask_types=["cloud"], masking_strategy="any", window_size=0,
+        task_type="seg")
+    grouped = {k: g for k, g in records.groupby("stac_items_str")}
+
+    # First run: transient failure (load_tile returns None, as it does for
+    # caught download/decode errors).
+    monkeypatch.setattr(type(pipe), "load_tile", lambda self, key, ds: None)
+    manifest = pipe.run(dataset, grouped)
+    assert len(manifest) == 0
+    state_file = out_dir / "processed_tiles.json"
+    state = json.loads(state_file.read_text()) if state_file.exists() else []
+    assert state == []  # key left unmarked for retry
+
+    # Second run (resume): load succeeds, chips are produced.
+    monkeypatch.undo()
+    monkeypatch.setattr(StacClient, "search", lambda self, **kw: [item])
+    manifest = pipe.run(dataset, grouped)
+    assert len(manifest) == 2
+    state = json.loads((out_dir / "processed_tiles.json").read_text())
+    assert len(state) == 1

@@ -85,6 +85,24 @@ def test_wrong_issuer(keypair, jwks_patched):
         auth.verify_jwt(token, domain=DOMAIN, audience=AUD)
 
 
+def test_missing_issuer_rejected(keypair, jwks_patched):
+    key, _ = keypair
+    payload = _payload()
+    del payload["iss"]
+    token = _make_token(key, payload)
+    with pytest.raises(auth.AuthError, match="issuer"):
+        auth.verify_jwt(token, domain=DOMAIN, audience=AUD)
+
+
+def test_missing_exp_rejected(keypair, jwks_patched):
+    key, _ = keypair
+    payload = _payload()
+    del payload["exp"]
+    token = _make_token(key, payload)
+    with pytest.raises(auth.AuthError, match="exp"):
+        auth.verify_jwt(token, domain=DOMAIN, audience=AUD)
+
+
 def test_tampered_payload(keypair, jwks_patched):
     key, _ = keypair
     token = _make_token(key, _payload())

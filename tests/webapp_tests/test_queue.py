@@ -55,6 +55,39 @@ def test_reap_timeouts(qdb):
     assert queue.get_job(jid, db_path=qdb)["status"] == "timed_out"
 
 
+def _hang():
+    time.sleep(600)
+
+
+def test_isolated_hung_job_is_killed(qdb):
+    """A hung job must not wedge its queue: the work-horse child is killed
+    at timeout_s and the worker can keep consuming (ADVICE round-1)."""
+    jid = queue.enqueue("model-prediction",
+                        "tests.webapp_tests.test_queue:_hang", {},
+                        timeout_s=0.5, db_path=qdb)
+    queue.enqueue("model-prediction",
+                  "tests.webapp_tests.test_queue:_ok_job", {"value": 3},
+                  db_path=qdb)
+    t0 = time.monotonic()
+    assert queue.work_once("model-prediction", db_path=qdb, isolate=True)
+    assert time.monotonic() - t0 < 30  # killed, not slept out
+    assert queue.get_job(jid, db_path=qdb)["status"] == "timed_out"
+    # the queue is NOT wedged: the next job still runs
+    assert queue.work_once("model-prediction", db_path=qdb, isolate=True)
+    status = queue.get_queues_status(qdb)
+    assert status["model-prediction"]["finished"] == 1
+
+
+def test_isolated_job_success(qdb):
+    jid = queue.enqueue("data-processing",
+                        "tests.webapp_tests.test_queue:_ok_job",
+                        {"value": 9}, db_path=qdb)
+    job = queue.claim_next("data-processing", db_path=qdb)
+    assert queue.run_job_isolated(job, db_path=qdb)
+    rec = queue.get_job(jid, db_path=qdb)
+    assert rec["status"] == "finished" and "9" in rec["result"]
+
+
 def test_drain_processes_chained_jobs(qdb):
     queue.enqueue("data-processing", "tests.webapp_tests.test_queue:_ok_job",
                   {}, db_path=qdb)
