@@ -67,36 +67,71 @@ def extract_year(file_path: str) -> Optional[int]:
     return int(matches[0]) if matches else None
 
 
+def _connected_components(tiles: List[str], distance_threshold: float
+                          ) -> List[Set[str]]:
+    """Connected components under a km threshold, iteratively.
+
+    Vectorized BFS with a lat/lon bounding-box prefilter (the reference's
+    prefilter, data_splitter.py:202-228) before the exact haversine — no
+    Python recursion and no O(n) scalar distance loop per visit, so
+    thousand-tile connected components are cheap and stack-safe.
+    """
+    n = len(tiles)
+    lat = np.full(n, np.nan)
+    lon = np.full(n, np.nan)
+    for i, t in enumerate(tiles):
+        c = _tile_center(t)
+        if c:
+            lat[i], lon[i] = c
+    resolvable = ~np.isnan(lat)
+    visited = ~resolvable  # unresolvable tiles become singleton groups
+    groups: List[Set[str]] = [{tiles[i]} for i in np.nonzero(~resolvable)[0]]
+
+    dlat_max = distance_threshold / 111.0 * 1.05  # deg, small safety margin
+    for start in range(n):
+        if visited[start]:
+            continue
+        visited[start] = True
+        comp = [start]
+        frontier = [start]
+        while frontier:
+            i = frontier.pop()
+            cos_lat = max(float(np.cos(np.radians(lat[i]))), 1e-6)
+            dlon_max = distance_threshold / (111.0 * cos_lat) * 1.05
+            dlon = np.abs((lon - lon[i] + 180.0) % 360.0 - 180.0)
+            cand = (~visited) & (np.abs(lat - lat[i]) <= dlat_max) \
+                & (dlon <= dlon_max)
+            idxs = np.nonzero(cand)[0]
+            if idxs.size == 0:
+                continue
+            d = haversine_km(lat[i], lon[i], lat[idxs], lon[idxs])
+            near = idxs[d <= distance_threshold]
+            visited[near] = True
+            comp.extend(near.tolist())
+            frontier.extend(near.tolist())
+        groups.append({tiles[j] for j in comp})
+    return groups
+
+
 def find_connected_tiles(tile: str, remaining: Set[str],
                          distance_threshold: float) -> Set[str]:
-    """All tiles transitively within threshold km of ``tile`` (ref :181-236)."""
-    connected = {tile}
-    center = _tile_center(tile)
-    if not center:
-        return connected
-    lat0, lon0 = center
-    neighbors = []
-    for other in list(remaining):
-        oc = _tile_center(other)
-        if oc and float(haversine_km(lat0, lon0, oc[0], oc[1])) <= distance_threshold:
-            neighbors.append(other)
-    for other in neighbors:
-        if other in remaining:
-            remaining.remove(other)
-            connected.update(find_connected_tiles(other, remaining,
-                                                  distance_threshold))
-    return connected
+    """All tiles transitively within threshold km of ``tile`` (ref :181-236).
+
+    ``remaining`` is mutated: tiles absorbed into the component are removed.
+    """
+    pool = [tile] + [t for t in remaining if t != tile]
+    for comp in _connected_components(pool, distance_threshold):
+        if tile in comp:
+            remaining.difference_update(comp)
+            return comp
+    return {tile}
 
 
 def group_close_mgrs_tiles(mgrs_tiles: List[str],
                            distance_threshold: float = 400.0) -> List[Set[str]]:
     """Connected components under the km threshold (reference :238-262)."""
-    groups = []
-    remaining = set(mgrs_tiles)
-    while remaining:
-        t = remaining.pop()
-        groups.append(find_connected_tiles(t, remaining, distance_threshold))
-    return groups
+    return _connected_components(list(dict.fromkeys(mgrs_tiles)),
+                                 distance_threshold)
 
 
 def save_splits(train_df, val_df, test_df, output_dir: str,

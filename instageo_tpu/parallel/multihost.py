@@ -17,6 +17,8 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
+_initialized = False
+
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
@@ -24,18 +26,27 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """Initialize the distributed runtime when running multi-process.
 
     On Cloud TPU pods the arguments auto-detect from the metadata server;
-    single-process runs skip initialization entirely.
+    single-process runs skip initialization entirely. Idempotent: a second
+    call is a no-op (``jax.process_count()`` cannot be used as the guard —
+    it reads 1 until AFTER initialize, so it can never gate the first call).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _initialized
+    if _initialized:
+        return
     try:
         if coordinator_address or num_processes:
             jax.distributed.initialize(coordinator_address, num_processes,
                                        process_id)
         else:
             jax.distributed.initialize()
+        _initialized = True
         log.info("jax.distributed initialized: process %d/%d",
                  jax.process_index(), jax.process_count())
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            _initialized = True
+            return
+        log.info("Single-process run (distributed init skipped: %s)", e)
     except Exception as e:
         log.info("Single-process run (distributed init skipped: %s)", e)
 

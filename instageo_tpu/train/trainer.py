@@ -227,14 +227,18 @@ class Trainer:
 
     def _build_eval_step(self) -> Callable:
         def step(state: TrainState, x, labels, metrics: EpochMetrics,
-                 with_auc: bool):
+                 with_auc: bool, return_logits: bool):
             logits = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 x, train=False)
             loss = self._loss(logits, labels, None)
-            return self._update_metrics(metrics, logits, labels, loss, with_auc)
+            new_metrics = self._update_metrics(metrics, logits, labels, loss,
+                                               with_auc)
+            # Returning logits from the same jitted step keeps plot
+            # collection at ONE forward per eval batch.
+            return new_metrics, (logits if return_logits else loss)
 
-        return jax.jit(step, static_argnames=("with_auc",))
+        return jax.jit(step, static_argnames=("with_auc", "return_logits"))
 
     # -- epoch loops -------------------------------------------------------
 
@@ -276,12 +280,11 @@ class Trainer:
         for x, y in batches:
             n_real = np.asarray(x).shape[0]
             x, y = self._prepare(x, y, batch_size)
-            metrics = self._eval_step(self.state, x, y, metrics, with_auc)
-            if collect_outputs and self.is_reg:
+            collect = collect_outputs and self.is_reg
+            metrics, logits = self._eval_step(self.state, x, y, metrics,
+                                              with_auc, collect)
+            if collect:
                 # host copy of valid-regression predictions (for plots)
-                logits = self.model.apply(
-                    {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats}, x, train=False)
                 preds = np.asarray(jax.device_get(logits))[:n_real, 0]
                 if self.use_log_scale:
                     preds = np.expm1(preds)

@@ -19,7 +19,7 @@ def pred_tif(tmp_path):
     rng = np.random.default_rng(0)
     arr = rng.uniform(0, 1, size=(64, 64)).astype(np.float32)
     arr[0, 0] = -1  # nodata
-    p = tmp_path / "prediction_20230601_T37MBU_0_0.tif"
+    p = tmp_path / "prediction_20230601_T37MDT_0_0.tif"
     write_geotiff(str(p), arr[None],
                   transform=Affine.from_origin(36.8, -1.2, 0.001, 0.001),
                   crs=4326, nodata=-1)
@@ -46,11 +46,28 @@ def test_map_html(pred_tif, tmp_path):
 
 def test_find_tiles_with_country_filter(pred_tif, tmp_path):
     paths = find_prediction_tiles(str(pred_tif.parent), country_code="KE")
-    assert len(paths) == 1  # T37MBU is in the KE starter list
+    assert len(paths) == 1  # T37MDT is in the KE tile list
     paths = find_prediction_tiles(str(pred_tif.parent), country_code="ML")
     assert len(paths) == 0
 
 
 def test_country_lookup():
-    assert "37MBU" in load_country_tiles("ke")
+    assert "37MDT" in load_country_tiles("ke")
     assert load_country_tiles("ZZ") == []
+
+
+def test_country_table_is_complete():
+    """All 76 reference-supported countries resolve to non-empty tile lists."""
+    import json
+    import os
+
+    import instageo_tpu.apps.app as app_mod
+
+    path = os.path.join(os.path.dirname(app_mod.__file__), "utils",
+                        "country_code_to_mgrs_tiles.json")
+    table = json.load(open(path))
+    assert len(table) >= 76
+    assert all(len(v) > 0 for v in table.values())
+    for cc in ("AE", "KE", "ML", "NG", "US" if "US" in table else "AE"):
+        if cc in table:
+            assert load_country_tiles(cc.lower()) == table[cc]

@@ -14,6 +14,7 @@ from instageo_tpu.data.data_cleaner import (
 from instageo_tpu.data.data_splitter import (
     extract_mgrs_tile,
     extract_year,
+    find_connected_tiles,
     group_close_mgrs_tiles,
     split_dataset,
 )
@@ -138,3 +139,38 @@ def test_split_dataset_random_fallback(tmp_path):
     test = pd.read_csv(out / "test.csv")
     assert len(test) == 10
     assert len(train) == 30
+
+
+def test_group_close_mgrs_tiles_scales_to_thousands():
+    """~5k-tile connected component: must finish fast with no recursion
+    limit (iterative BFS + bbox prefilter, reference :202-228)."""
+    import time
+
+    from instageo_tpu.data import data_splitter as ds
+
+    # Synthetic dense grid: one giant connected component spanning ~50x100
+    # fake tiles 30 km apart, plus a far-away singleton.
+    tiles = [f"FAKE_{r}_{c}" for r in range(50) for c in range(100)]
+    centers = {f"FAKE_{r}_{c}": (10.0 + r * 0.27, 20.0 + c * 0.27)
+               for r in range(50) for c in range(100)}
+    centers["LONE"] = (-40.0, -150.0)
+    tiles.append("LONE")
+    ds._mgrs_coord_cache.update(centers)
+    try:
+        t0 = time.monotonic()
+        groups = group_close_mgrs_tiles(tiles, distance_threshold=50.0)
+        elapsed = time.monotonic() - t0
+    finally:
+        for k in centers:
+            ds._mgrs_coord_cache.pop(k, None)
+    assert elapsed < 30.0
+    sizes = sorted(len(g) for g in groups)
+    assert sizes[-1] == 5000  # one component of all grid tiles
+    assert {"LONE"} in groups
+
+
+def test_find_connected_tiles_mutates_remaining():
+    remaining = {"17TPK", "56HLH"}
+    comp = find_connected_tiles("17TPJ", remaining, 400.0)
+    assert comp == {"17TPJ", "17TPK"}
+    assert remaining == {"56HLH"}
