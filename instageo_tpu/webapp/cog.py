@@ -110,4 +110,10 @@ class COGConverter:
                               "fraction": float(n / total) if total else 0.0}
                 for c, n in zip(classes, counts)
             },
+            # Reference-shaped fields (cog_converter.py:192-221) the
+            # frontend visualization dialog consumes directly.
+            "class_counts": {str(int(c)): int(n)
+                             for c, n in zip(classes, counts)},
+            "valid_pixels": total,
+            "unique_values": int(len(classes)),
         }

@@ -186,12 +186,33 @@ def _layer_mode(layer: str) -> str:
     return "classes" if layer == "predictions" else "rgb"
 
 
+def _render_params(request: web.Request, layer: str) -> Dict[str, Any]:
+    """Parse TiTiler-style render params the SPA sends: ``mode``,
+    ``colormap`` (JSON {class: [r,g,b(,a)]}) and ``rescale=lo,hi``."""
+    q = request.rel_url.query
+    params: Dict[str, Any] = {"mode": q.get("mode", _layer_mode(layer))}
+    if "colormap" in q:
+        try:
+            raw = json.loads(q["colormap"])
+            params["colormap"] = {int(k): tuple(int(c) for c in v)
+                                  for k, v in raw.items()}
+        except (json.JSONDecodeError, ValueError, TypeError):
+            pass  # malformed colormap: fall back to defaults
+    if "rescale" in q:
+        try:
+            lo, hi = (float(v) for v in q["rescale"].split(","))
+            params["value_range"] = (lo, hi)
+        except ValueError:
+            pass
+    return params
+
+
 async def tile_png(request: web.Request) -> web.Response:
     m = request.match_info
     try:
         tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
         png = tiler.render_tile(int(m["z"]), int(m["x"]), int(m["y"]),
-                                mode=_layer_mode(m["layer"]))
+                                **_render_params(request, m["layer"]))
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     return web.Response(body=png, content_type="image/png")
@@ -212,7 +233,7 @@ async def preview_png(request: web.Request) -> web.Response:
     m = request.match_info
     try:
         tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
-        png = tiler.preview(mode=_layer_mode(m["layer"]))
+        png = tiler.preview(**_render_params(request, m["layer"]))
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     return web.Response(body=png, content_type="image/png")

@@ -109,9 +109,14 @@ class Task:
         self.stages[stage]["started_at"] = time.time()
         self.save()
 
-    def complete_stage(self, stage: str) -> None:
+    def complete_stage(self, stage: str, result: Optional[Dict] = None) -> None:
         self.stages[stage]["status"] = "completed"
         self.stages[stage]["finished_at"] = time.time()
+        if result is not None:
+            # Persist the stage result on the task (the reference stores
+            # stage results in the task hash; the frontend reads e.g.
+            # stages.visualization_preparation.result.segmentation_stats).
+            self.stages[stage]["result"] = result
         self.save()
 
     def fail(self, stage: str, error: str) -> None:
@@ -227,7 +232,8 @@ def process_visualization_preparation_with_task(
         converter = COGConverter(task.data_dir)
         result = converter.merge_task_files_to_cog(task_id)
         stats = converter.compute_seg_stats(result.get("predictions_cog"))
-        task.complete_stage("visualization_preparation")
+        task.complete_stage("visualization_preparation",
+                            result={"segmentation_stats": stats})
         task.complete()
         return {**result, "seg_stats": stats}
     except Exception as e:

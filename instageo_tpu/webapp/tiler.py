@@ -13,7 +13,7 @@ from __future__ import annotations
 import io
 import math
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -132,19 +132,25 @@ class COGTiler:
         return out, valid.reshape(ts, ts)
 
     def render_tile(self, z: int, x: int, y: int, mode: str = "rgb",
-                    value_range: Tuple[float, float] = (0, 3000)) -> bytes:
-        """Render a PNG tile: 'rgb' stretch or 'classes' colormap."""
+                    value_range: Tuple[float, float] = (0, 3000),
+                    colormap: Optional[Dict[int, Tuple]] = None) -> bytes:
+        """Render a PNG tile: 'rgb' stretch or 'classes' colormap.
+
+        ``colormap`` overrides CLASS_COLORS (the frontend passes its class
+        palette exactly like the reference passes TiTiler ?colormap=...).
+        """
         data, valid = self.sample_tile(z, x, y)
         ts = self.tile_size
         if self.nodata is not None:
             valid = valid & ~np.all(data == self.nodata, axis=0)
         rgba = np.zeros((ts, ts, 4), np.uint8)
         if mode == "classes":
+            cmap = colormap if colormap else CLASS_COLORS
             classes = data[0].astype(int)
-            for cls, color in CLASS_COLORS.items():
+            for cls, color in cmap.items():
                 m = valid & (classes == cls)
-                rgba[m] = color
-            other = valid & ~np.isin(classes, list(CLASS_COLORS))
+                rgba[m] = tuple(color) if len(color) == 4 else (*color, 200)
+            other = valid & ~np.isin(classes, list(cmap))
             rgba[other] = (128, 0, 128, 200)
         else:
             lo, hi = value_range
@@ -159,7 +165,8 @@ class COGTiler:
         return buf.getvalue()
 
     def preview(self, max_size: int = 512, mode: str = "rgb",
-                value_range: Tuple[float, float] = (0, 3000)) -> bytes:
+                value_range: Tuple[float, float] = (0, 3000),
+                colormap: Optional[Dict[int, Tuple]] = None) -> bytes:
         """Whole-image PNG preview from the smallest adequate overview."""
         level = len(self.reader.ifds) - 1
         while level > 0:
@@ -173,9 +180,11 @@ class COGTiler:
         h, w = data.shape[-2:]
         rgba = np.zeros((h, w, 4), np.uint8)
         if mode == "classes":
+            cmap = colormap if colormap else CLASS_COLORS
             classes = data[0].astype(int)
-            for cls, color in CLASS_COLORS.items():
-                rgba[classes == cls] = color
+            for cls, color in cmap.items():
+                rgba[classes == cls] = (
+                    tuple(color) if len(color) == 4 else (*color, 200))
         else:
             lo, hi = value_range
             bands = data[:3].astype(np.float32)
