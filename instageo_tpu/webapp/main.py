@@ -129,6 +129,18 @@ async def queues_status(request: web.Request) -> web.Response:
     return web.json_response(queue.get_queues_status(request.app["db_path"]))
 
 
+async def list_jobs_handler(request: web.Request) -> web.Response:
+    """GET /api/jobs — job listing for the queue dashboard (the reference
+    deploys rq-dashboard on :9181; here the dashboard is a first-class
+    backend page over the sqlite job store)."""
+    q = request.rel_url.query
+    jobs = queue.list_jobs(
+        queue_name=q.get("queue"), status=q.get("status"),
+        limit=min(int(q.get("limit", 100)), 500),
+        db_path=request.app["db_path"])
+    return web.json_response({"jobs": jobs})
+
+
 async def list_models(request: web.Request) -> web.Response:
     """GET /api/models (reference main.py:403-441)."""
     return web.json_response(
@@ -273,6 +285,7 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     app.router.add_get("/api/task/{task_id}", get_task)
     app.router.add_get("/api/tasks", list_tasks_handler)
     app.router.add_get("/api/queues/status", queues_status)
+    app.router.add_get("/api/jobs", list_jobs_handler)
     app.router.add_get("/api/models", list_models)
     app.router.add_get("/api/models/{name}", get_model)
     app.router.add_get("/api/health", health)
@@ -289,7 +302,13 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     async def index(_request: web.Request) -> web.Response:
         return web.FileResponse(os.path.join(static_dir, "index.html"))
 
+    async def dashboard(_request: web.Request) -> web.Response:
+        # Queue dashboard (reference runs rq-dashboard on :9181; prod
+        # deployments should basic-auth this path at the proxy).
+        return web.FileResponse(os.path.join(static_dir, "dashboard.html"))
+
     app.router.add_get("/", index)
+    app.router.add_get("/dashboard", dashboard)
     app.router.add_static("/static", static_dir)
     return app
 

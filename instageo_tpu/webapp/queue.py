@@ -289,6 +289,29 @@ def get_queues_status(db_path: Optional[str] = None) -> Dict[str, Dict]:
     return out
 
 
+def list_jobs(queue_name: Optional[str] = None, status: Optional[str] = None,
+              limit: int = 100, db_path: Optional[str] = None) -> List[Dict]:
+    """Recent jobs, newest first (rq-dashboard's job listing equivalent)."""
+    conn = db.get_conn(db_path)
+    clauses, params = [], []
+    if queue_name:
+        clauses.append("queue=?")
+        params.append(queue_name)
+    if status:
+        clauses.append("status=?")
+        params.append(status)
+    where = f"WHERE {' AND '.join(clauses)}" if clauses else ""
+    rows = conn.execute(
+        f"SELECT * FROM jobs {where} ORDER BY enqueued_at DESC LIMIT ?",
+        (*params, limit)).fetchall()
+    out = []
+    for row in rows:
+        job = dict(row)
+        job["args"] = json.loads(job["args"])
+        out.append(job)
+    return out
+
+
 def get_job(job_id: str, db_path: Optional[str] = None) -> Optional[Dict]:
     row = db.get_conn(db_path).execute(
         "SELECT * FROM jobs WHERE job_id=?", (job_id,)).fetchone()

@@ -276,3 +276,30 @@ def test_response_shapes_match_spa_bindings(tmp_path):
                 assert key in health
 
     _run(go())
+
+
+def test_dashboard_served_and_jobs_endpoint(tmp_path):
+    """Queue dashboard page + /api/jobs (reference deploys rq-dashboard)."""
+    os.environ["TESTING"] = "true"
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from instageo_tpu.webapp import queue
+    from instageo_tpu.webapp.main import create_app
+
+    db_path = str(tmp_path / "d.sqlite")
+
+    async def go():
+        app = create_app(db_path=db_path)
+        async with TestClient(TestServer(app)) as client:
+            page = await client.get("/dashboard")
+            assert page.status == 200
+            assert "Queue Dashboard" in await page.text()
+            queue.enqueue("data-processing",
+                          "tests.webapp_tests.test_queue:_ok_job",
+                          {}, db_path=db_path)
+            resp = await client.get("/api/jobs?queue=data-processing")
+            data = await resp.json()
+            assert len(data["jobs"]) == 1
+            assert data["jobs"][0]["status"] == "queued"
+
+    _run(go())

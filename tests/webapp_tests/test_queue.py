@@ -95,3 +95,21 @@ def test_drain_processes_chained_jobs(qdb):
                   "tests.webapp_tests.test_queue:_ok_job", {}, db_path=qdb)
     assert queue.drain(db_path=qdb) == 2
     assert queue.drain(db_path=qdb) == 0
+
+
+def test_list_jobs_for_dashboard(qdb):
+    """/api/jobs backing store: newest-first listing with filters
+    (rq-dashboard equivalent)."""
+    queue.enqueue("data-processing", "tests.webapp_tests.test_queue:_ok_job",
+                  {}, db_path=qdb)
+    time.sleep(0.01)
+    queue.enqueue("model-prediction", "tests.webapp_tests.test_queue:_boom",
+                  {}, db_path=qdb)
+    queue.drain(db_path=qdb)
+    jobs = queue.list_jobs(db_path=qdb)
+    assert len(jobs) == 2
+    assert jobs[0]["queue"] == "model-prediction"  # newest first
+    failed = queue.list_jobs(status="failed", db_path=qdb)
+    assert len(failed) == 1 and failed[0]["queue"] == "model-prediction"
+    dp = queue.list_jobs(queue_name="data-processing", db_path=qdb)
+    assert len(dp) == 1 and dp[0]["status"] == "finished"
