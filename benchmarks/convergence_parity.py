@@ -1,0 +1,321 @@
+"""Training-convergence parity: this framework vs a torch oracle.
+
+VERDICT round-1 quality-parity item (b): train the SAME tiny PrithviSeg —
+identical initial weights (exported through the checkpoint layout
+converter), identical batch order, same AdamW(1e-3, wd=1e-2) and masked-CE
+loss — in (1) this framework's jitted Trainer and (2) a from-primitives
+torch replica (tests/model_tests/torch_ref.py extended with training-mode
+batch norm + dropout), and compare held-out mIoU trajectories.
+
+The torch side mirrors the reference's training semantics
+(segmentation.py:107-151, base.py:115-133); the synthetic task is a
+Sen1Floods-like 2-class water map derived from the input bands. Exact
+step-level equality is impossible (op orders, dropout rngs), so parity is
+judged at the metric level: both runs must clear an absolute mIoU bar and
+land within a tolerance of each other.
+
+Run:  python benchmarks/convergence_parity.py [--steps 600]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests",
+                                "model_tests"))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Synthetic Sen1Floods-like task
+# ---------------------------------------------------------------------------
+
+
+def make_dataset(n, size=32, bands=6, seed=0):
+    """Water-map toy task: label from a smooth 'elevation' of band mixes."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(scale=0.4, size=(n, bands, 1, size, size)).astype(np.float32)
+    # smooth spatial field per sample (water in the 'low' areas)
+    gy, gx = np.mgrid[0:size, 0:size] / size
+    field = (np.sin(2 * np.pi * (gy[None] * rng.uniform(0.5, 1.5, (n, 1, 1))
+                                 + rng.uniform(0, 1, (n, 1, 1))))
+             + np.cos(2 * np.pi * (gx[None] * rng.uniform(0.5, 1.5, (n, 1, 1)))))
+    y = (field < 0).astype(np.int32)
+    # informative signal: NIR (band 3) low over water, green (band 1) high
+    x[:, 3, 0] -= 1.2 * y
+    x[:, 1, 0] += 0.8 * y
+    y = y.copy()
+    y[:, :1, :] = -1  # some ignore pixels
+    return x, y
+
+
+def miou_from_preds(pred, y, num_classes=2):
+    valid = y >= 0
+    ious = []
+    for c in range(num_classes):
+        p = (pred == c) & valid
+        t = (y == c) & valid
+        inter = (p & t).sum()
+        union = (p | t).sum()
+        ious.append(inter / union if union else np.nan)
+    return float(np.nanmean(ious))
+
+
+# ---------------------------------------------------------------------------
+# JAX side
+# ---------------------------------------------------------------------------
+
+
+def run_jax(x, y, xv, yv, steps, batch, eval_every, lr, seed=0):
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.parallel.mesh import make_mesh
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": x.shape[-1],
+        "dataloader.bands": list(range(x.shape[1])),
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": batch,
+        "train.ignore_index": -1,
+        "train.learning_rate": lr,
+        "train.scheduler": False,
+        "tpu.precision": "f32",
+    })
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
+
+    def batches():
+        i = 0
+        while True:
+            sl = slice((i * batch) % len(x), (i * batch) % len(x) + batch)
+            yield x[sl], y[sl]
+            i += 1
+
+    gen = batches()
+    curve = []
+    rng = jax.random.PRNGKey(seed)
+    it = iter(gen)
+    for step in range(steps):
+        bx, by = next(it)
+        trainer.run_train_epoch(iter([(bx, by)]),
+                                jax.random.fold_in(rng, step), batch)
+        if (step + 1) % eval_every == 0 or step == steps - 1:
+            pred = np.asarray(jax.device_get(_predict_jax(trainer, xv)))
+            curve.append((step + 1, miou_from_preds(pred, yv)))
+    return trainer, curve
+
+
+def _predict_jax(trainer, xv):
+    import jax.numpy as jnp
+
+    logits = trainer.model.apply(
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+        jnp.asarray(xv), train=False)
+    return jnp.argmax(logits, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Torch side (training-mode replica of the reference modules)
+# ---------------------------------------------------------------------------
+
+
+def _block_forward_t(x, sd, prefix, num_heads):
+    """timm Block forward on live tensors (differentiable twin of
+    torch_ref.block_forward, which detaches through numpy)."""
+    import torch
+    import torch.nn.functional as F
+
+    d = x.shape[-1]
+    h = F.layer_norm(x, (d,), sd[f"{prefix}.norm1.weight"],
+                     sd[f"{prefix}.norm1.bias"], 1e-5)
+    qkv = F.linear(h, sd[f"{prefix}.attn.qkv.weight"],
+                   sd[f"{prefix}.attn.qkv.bias"])
+    b, l, _ = qkv.shape
+    qkv = qkv.reshape(b, l, 3, num_heads, d // num_heads)
+    q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
+    attn = F.scaled_dot_product_attention(q, k, v)
+    attn = attn.transpose(1, 2).reshape(b, l, d)
+    x = x + F.linear(attn, sd[f"{prefix}.attn.proj.weight"],
+                     sd[f"{prefix}.attn.proj.bias"])
+    h = F.layer_norm(x, (d,), sd[f"{prefix}.norm2.weight"],
+                     sd[f"{prefix}.norm2.bias"], 1e-5)
+    h = F.gelu(F.linear(h, sd[f"{prefix}.mlp.fc1.weight"],
+                        sd[f"{prefix}.mlp.fc1.bias"]))
+    return x + F.linear(h, sd[f"{prefix}.mlp.fc2.weight"],
+                        sd[f"{prefix}.mlp.fc2.bias"])
+
+
+def _vit_forward_t(x, sd, *, patch_size, embed_dim, depth, num_heads):
+    import torch
+    import torch.nn.functional as F
+    from instageo_tpu.models.prithvi import get_3d_sincos_pos_embed
+
+    tokens = F.conv3d(x, sd["patch_embed.proj.weight"],
+                      sd["patch_embed.proj.bias"], stride=patch_size)
+    grid = tuple(s // p for s, p in zip(x.shape[-3:], patch_size))
+    tokens = tokens.flatten(2).transpose(1, 2)
+    pos = torch.from_numpy(np.asarray(
+        get_3d_sincos_pos_embed(embed_dim, grid, cls_token=True),
+        dtype=np.float32))
+    tokens = tokens + pos[1:]
+    cls = (sd["cls_token"] + pos[:1]).expand(x.shape[0], 1, embed_dim)
+    tokens = torch.cat([cls, tokens], dim=1)
+    for i in range(depth):
+        tokens = _block_forward_t(tokens, sd, f"blocks.{i}", num_heads)
+    return F.layer_norm(tokens, (embed_dim,), sd["norm.weight"],
+                        sd["norm.bias"], 1e-5)
+
+
+def seg_forward_train(x, sd, *, patch_size, embed_dim, depth, num_heads,
+                      num_frames, training, dropout=0.1):
+    """Reference PrithviSeg forward with training-mode BN + dropout."""
+    import torch
+    import torch.nn.functional as F
+    import math
+
+    enc_sd = {k[len("prithvi_encoder."):]: v for k, v in sd.items()
+              if k.startswith("prithvi_encoder.")}
+    feats = _vit_forward_t(x, enc_sd, patch_size=patch_size,
+                           embed_dim=embed_dim, depth=depth,
+                           num_heads=num_heads)[:, 1:, :]
+    b, l, d = feats.shape
+    side = int(math.isqrt(l // num_frames))
+    h = feats.permute(0, 2, 1).reshape(b, -1, side, side)
+    for i in range(4):
+        base = f"segmentation_head.{i}"
+        h = F.conv_transpose2d(h, sd[f"{base}.0.weight"],
+                               sd[f"{base}.0.bias"], stride=2, padding=1,
+                               output_padding=1)
+        h = F.dropout(h, p=dropout, training=training)
+        h = F.conv2d(h, sd[f"{base}.2.weight"], sd[f"{base}.2.bias"],
+                     padding=1)
+        h = F.batch_norm(h, sd[f"{base}.3.running_mean"],
+                         sd[f"{base}.3.running_var"],
+                         sd[f"{base}.3.weight"], sd[f"{base}.3.bias"],
+                         training=training, momentum=0.1, eps=1e-5)
+        h = F.relu(h)
+    h = F.dropout(h, p=dropout, training=training)
+    return F.conv2d(h, sd["segmentation_head.5.weight"],
+                    sd["segmentation_head.5.bias"])
+
+
+def run_torch(init_sd_np, arch, x, y, xv, yv, steps, batch, eval_every, lr,
+              seed=0):
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(seed)
+    sd = {}
+    trainable = []
+    for k, v in init_sd_np.items():
+        t = torch.from_numpy(np.ascontiguousarray(v))
+        if "running_" in k:
+            sd[k] = t  # buffers
+        else:
+            t.requires_grad_(True)
+            sd[k] = t
+            trainable.append(t)
+    opt = torch.optim.AdamW(trainable, lr=lr, weight_decay=1e-2)
+
+    kw = dict(patch_size=arch.patch_size, embed_dim=arch.embed_dim,
+              depth=arch.depth, num_heads=arch.num_heads,
+              num_frames=arch.num_frames)
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y).long()
+    xvt = torch.from_numpy(xv)
+
+    curve = []
+    for step in range(steps):
+        sl = slice((step * batch) % len(x), (step * batch) % len(x) + batch)
+        logits = seg_forward_train(xt[sl], sd, training=True, **kw)
+        loss = F.cross_entropy(logits, yt[sl], ignore_index=-1)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if (step + 1) % eval_every == 0 or step == steps - 1:
+            with torch.no_grad():
+                pv = seg_forward_train(xvt, sd, training=False, **kw)
+                pred = pv.argmax(dim=1).numpy()
+            curve.append((step + 1, miou_from_preds(pred, yv)))
+    return curve
+
+
+# ---------------------------------------------------------------------------
+
+
+def main(steps=600, batch=8, eval_every=100, lr=1e-3, tolerance=0.06,
+         min_miou=0.80):
+    from instageo_tpu.models.checkpoint import seg_variables_to_torch
+    from instageo_tpu.models.registry import get_arch
+
+    x, y = make_dataset(256, seed=0)
+    xv, yv = make_dataset(64, seed=1)
+
+    t0 = time.time()
+    trainer, jax_curve = run_jax(x, y, xv, yv, steps, batch, eval_every, lr)
+    t_jax = time.time() - t0
+
+    # identical initial weights: re-init and export. (The trainer mutated its
+    # state, so rebuild the same init deterministically.)
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.train.factory import create_model
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": x.shape[-1],
+        "dataloader.bands": list(range(x.shape[1])),
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "tpu.precision": "f32",
+    })
+    _, init_vars = create_model(cfg)
+    arch = get_arch("prithvi_eo_tiny", in_chans=x.shape[1], num_frames=1,
+                    img_size=x.shape[-1])
+    sd_np = seg_variables_to_torch(init_vars, arch, prefix="")
+
+    t0 = time.time()
+    torch_curve = run_torch(sd_np, arch, x, y, xv, yv, steps, batch,
+                            eval_every, lr)
+    t_torch = time.time() - t0
+
+    jax_final = jax_curve[-1][1]
+    torch_final = torch_curve[-1][1]
+    report = {
+        "steps": steps,
+        "jax_curve": jax_curve,
+        "torch_curve": torch_curve,
+        "jax_final_miou": jax_final,
+        "torch_final_miou": torch_final,
+        "delta": abs(jax_final - torch_final),
+        "tolerance": tolerance,
+        "jax_train_s": round(t_jax, 1),
+        "torch_train_s": round(t_torch, 1),
+    }
+    print(json.dumps(report, indent=1))
+    assert jax_final >= min_miou, f"jax mIoU {jax_final} < {min_miou}"
+    assert torch_final >= min_miou, f"torch mIoU {torch_final} < {min_miou}"
+    assert abs(jax_final - torch_final) <= tolerance, (
+        f"convergence diverged: jax {jax_final:.4f} vs torch "
+        f"{torch_final:.4f}")
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--eval-every", type=int, default=100)
+    args = ap.parse_args()
+    main(steps=args.steps, eval_every=args.eval_every)
