@@ -66,18 +66,124 @@ CREATE TABLE IF NOT EXISTS dead_letters (
 _local = threading.local()
 
 
-def get_conn(db_path: Optional[str] = None) -> sqlite3.Connection:
-    """Per-thread connection with WAL + row factory."""
+# ---------------------------------------------------------------------------
+# Postgres support (reference db.py:10-25 accepts a postgres DATABASE_URL
+# through SQLAlchemy; here a thin DBAPI adapter binds to whichever driver
+# is installed and translates the sqlite dialect)
+# ---------------------------------------------------------------------------
+
+
+def is_postgres_url(path: str) -> bool:
+    return path.startswith(("postgres://", "postgresql://"))
+
+
+def translate_sql_to_pg(sql: str) -> str:
+    """sqlite dialect -> postgres: placeholders and schema types."""
+    sql = sql.replace("?", "%s")
+    sql = sql.replace("INTEGER PRIMARY KEY AUTOINCREMENT",
+                      "BIGSERIAL PRIMARY KEY")
+    sql = sql.replace(" REAL", " DOUBLE PRECISION")
+    return sql
+
+
+def _pg_driver():
+    for name in ("psycopg", "psycopg2", "pg8000.dbapi"):
+        try:
+            import importlib
+
+            return importlib.import_module(name)
+        except ImportError:
+            continue
+    raise ImportError(
+        "DATABASE_URL points at postgres but no driver is installed "
+        "(tried psycopg, psycopg2, pg8000). Install one, or use a sqlite "
+        "path.")
+
+
+class _PgRow(dict):
+    """Mapping + positional row (sqlite3.Row-compatible surface)."""
+
+    def __init__(self, cols, values):
+        super().__init__(zip(cols, values))
+        self._values = tuple(values)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self._values[key]
+        return dict.__getitem__(self, key)
+
+
+class _PgCursorResult:
+    def __init__(self, cursor):
+        self._cursor = cursor
+        self.rowcount = cursor.rowcount
+
+    def _cols(self):
+        return [d[0] for d in self._cursor.description or []]
+
+    def fetchone(self):
+        row = self._cursor.fetchone()
+        return None if row is None else _PgRow(self._cols(), row)
+
+    def fetchall(self):
+        cols = None
+        out = []
+        for row in self._cursor.fetchall():
+            cols = cols or self._cols()
+            out.append(_PgRow(cols, row))
+        return out
+
+
+class PgConnection:
+    """sqlite3.Connection-shaped wrapper over a postgres DBAPI driver."""
+
+    def __init__(self, url: str):
+        self._raw = _pg_driver().connect(url)
+
+    def execute(self, sql: str, params=()):
+        cur = self._raw.cursor()
+        cur.execute(translate_sql_to_pg(sql), tuple(params))
+        return _PgCursorResult(cur)
+
+    def executescript(self, script: str):
+        cur = self._raw.cursor()
+        for stmt in script.split(";"):
+            stmt = stmt.strip()
+            if stmt and not stmt.upper().startswith("PRAGMA"):
+                cur.execute(translate_sql_to_pg(stmt))
+        return cur
+
+    def commit(self):
+        self._raw.commit()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *a):
+        if exc_type is None:
+            self._raw.commit()
+        else:
+            self._raw.rollback()
+
+
+def get_conn(db_path: Optional[str] = None):
+    """Per-thread connection with WAL + row factory (sqlite) or a DBAPI
+    adapter (postgres DATABASE_URLs, reference db.py:10-25)."""
     path = db_path or settings.DATABASE_URL
     key = f"conn_{path}"
     conn = getattr(_local, key, None)
     if conn is None:
-        conn = sqlite3.connect(path, timeout=30.0)
-        conn.row_factory = sqlite3.Row
-        conn.execute("PRAGMA journal_mode=WAL")
-        conn.execute("PRAGMA busy_timeout=30000")
-        conn.executescript(_SCHEMA)
-        conn.commit()
+        if is_postgres_url(path):
+            conn = PgConnection(path)
+            conn.executescript(_SCHEMA)
+            conn.commit()
+        else:
+            conn = sqlite3.connect(path, timeout=30.0)
+            conn.row_factory = sqlite3.Row
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA busy_timeout=30000")
+            conn.executescript(_SCHEMA)
+            conn.commit()
         setattr(_local, key, conn)
     return conn
 
