@@ -1,15 +1,22 @@
-"""Headline benchmark: Prithvi-V1-100M chip-inference throughput.
+"""Headline benchmark: Prithvi-V1-100M throughput + MFU (infer and train).
 
-Measures jitted segmentation inference (224×224, 6 bands, T=1, bf16 compute)
-on the available accelerator and prints ONE JSON line.
+Measures jitted segmentation inference (224×224, 6 bands, T=1, bf16) and
+the full training step (grad + AdamW + on-device metrics) on the available
+accelerator, reports model FLOPs from XLA cost analysis, and prints ONE
+JSON line. The headline metric stays inference chips/s/chip; training
+throughput and both MFUs ride along as extra fields.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 BASELINE.json sets the north-star at >5,000 chips/s on a v5e-8 pod, i.e.
 625 chips/s per chip. ``vs_baseline`` is measured-throughput scaled to the
 device count divided by that target.
+
+Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH, BENCH_MODE
+(``all``|``infer``).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -18,61 +25,180 @@ import numpy as np
 
 PER_CHIP_TARGET = 625.0  # 5000 chips/s on 8 chips
 
+# Peak dense bf16 TFLOP/s per chip by device kind (public TPU specs).
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
 
-def main() -> None:
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    # Longest prefix first: "TPU v5 lite" must not match "TPU v5" (v5p).
+    for name in sorted(PEAK_BF16_TFLOPS, key=len, reverse=True):
+        if kind.startswith(name):
+            return PEAK_BF16_TFLOPS[name] * 1e12
+    return 0.0
+
+
+def _step_flops(jitted, *args) -> float:
+    """Model FLOPs per call from XLA cost analysis (telemetry ground truth)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis() or {}
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _time_iters(fn, iters):
+    """Steady-state per-iteration seconds: (median, all_times). Each call
+    returns a scalar that is fetched to the host (hard sync —
+    block_until_ready timing through the remote-device tunnel is
+    unreliable). Per-iteration times expose tunnel-noise variance that a
+    single aggregate pass hides."""
+    for _ in range(2):
+        float(fn(0))  # warmup, settles caches/queues
+    times = []
+    acc = 0.0
+    for i in range(iters):
+        t0 = time.perf_counter()
+        acc += float(fn(i))
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(acc)
+    return float(np.median(times)), times
+
+
+def bench_inference(platform: str) -> dict:
     from instageo_tpu.models.seg import create_prithvi_seg
 
-    devices = jax.devices()
-    platform = devices[0].platform
-    batch = 512 if platform == "tpu" else 8
-
+    batch = int(os.environ.get("BENCH_BATCH",
+                               512 if platform == "tpu" else 8))
     model = create_prithvi_seg(
         "prithvi_eo_v1_100", num_classes=2, temporal_step=1,
         image_size=224, num_bands=6, dtype=jnp.bfloat16,
-        # XLA attention wins at this batch size (~1.3x vs the Pallas kernel);
-        # attn_impl="pallas" is better for small-batch/low-latency serving.
+        # XLA attention wins at this batch size (~1.3x vs the Pallas
+        # kernel); attn_impl="pallas" is better for low-latency serving.
     )
-    import os
-
-    batch = int(os.environ.get("BENCH_BATCH", batch))
     rng = np.random.default_rng(0)
-    x_host = rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32)
-    # init at batch 1: params are batch-independent, and this avoids
-    # compiling the full forward a second time at the bench batch size.
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, 6, 1, 224, 224), jnp.float32))
+    x = jnp.asarray(rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 6, 1, 224, 224), jnp.float32))
 
     @jax.jit
     def infer(variables, x, salt):
         # `salt` makes each timed iteration a distinct computation and the
-        # checksum forces full materialization (async dispatch through the
-        # device tunnel otherwise under-reports).
+        # checksum forces full materialization through the device tunnel.
         logits = model.apply(variables, x + salt, train=False)
         preds = jnp.argmax(logits, axis=1).astype(jnp.int8)
-        return preds, preds.astype(jnp.int32).sum()
+        return preds.astype(jnp.int32).sum()
 
-    x = jnp.asarray(x_host)
-    zero = jnp.zeros((), jnp.float32)
-    jax.block_until_ready(infer(variables, x, zero))  # compile
-    for _ in range(2):
-        _, s = infer(variables, x, zero)
-        float(s)  # device->host fetch = hard sync
+    flops = _step_flops(infer, variables, x, jnp.zeros((), jnp.float32))
     iters = 10 if platform == "tpu" else 3
-    t0 = time.perf_counter()
-    checksum = 0
-    for i in range(iters):
-        _, s = infer(variables, x, jnp.float32(i) * 1e-6)
-        checksum += int(s)
-    dt = time.perf_counter() - t0
-    assert checksum != 0 or True
+    sec, times = _time_iters(
+        lambda i: infer(variables, x, jnp.float32(i) * 1e-6), iters)
+    return {
+        "batch": batch,
+        "chips_per_sec": batch / sec,
+        "step_ms": sec * 1e3,
+        "step_ms_min": min(times) * 1e3,
+        "step_ms_max": max(times) * 1e3,
+        "flops_per_chip": flops / batch if batch else 0.0,
+        "flops_per_sec": flops / sec,
+    }
 
-    chips_per_sec = batch * iters / dt
-    print(json.dumps({
+
+def bench_train(platform: str) -> dict:
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.parallel.mesh import make_mesh
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import EpochMetrics, Trainer
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH",
+                               32 if platform == "tpu" else 8))
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": 224,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_v1_100",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": batch,
+        "train.ignore_index": -1,
+        "tpu.precision": "bf16",
+    })
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32)
+    y = rng.integers(0, 2, size=(batch, 224, 224)).astype(np.int32)
+    xd, yd = trainer._prepare(x, y, batch)
+    metrics0 = EpochMetrics.empty(trainer.num_classes)
+    key = jax.random.PRNGKey(0)
+
+    flops = _step_flops(trainer._train_step, trainer.state, xd, yd, key,
+                        metrics0)
+
+    # Time the pure device step on device-resident batches (state is
+    # donated and re-threaded). Production training overlaps host
+    # transfer with compute via the prefetching loader, so step time on
+    # HBM-resident data is the throughput that matters — and through a
+    # remote-device relay, per-step host transfer would only measure the
+    # tunnel. The per-iteration scalar fetch of loss_sum is the sync.
+    holder = {"state": trainer.state, "metrics": metrics0}
+
+    def one_step(i):
+        holder["state"], holder["metrics"] = trainer._train_step(
+            holder["state"], xd, yd, jax.random.fold_in(key, i),
+            holder["metrics"])
+        return holder["metrics"].loss_sum
+
+    iters = 8 if platform == "tpu" else 2
+    sec, times = _time_iters(one_step, iters)
+    return {
+        "batch": batch,
+        "chips_per_sec": batch / sec,
+        "step_ms": sec * 1e3,
+        "step_ms_min": min(times) * 1e3,
+        "step_ms_max": max(times) * 1e3,
+        "flops_per_chip": flops / batch if batch else 0.0,
+        "flops_per_sec": flops / sec,
+    }
+
+
+def main() -> None:
+    devices = jax.devices()
+    platform = devices[0].platform
+    peak = _peak_flops(devices[0])
+    mode = os.environ.get("BENCH_MODE", "all")
+
+    inf = bench_inference(platform)
+    out = {
         "metric": "prithvi_100m_seg_infer_throughput",
-        "value": round(chips_per_sec, 2),
+        "value": round(inf["chips_per_sec"], 2),
         "unit": "chips/sec/chip (224x224x6, bf16)",
-        "vs_baseline": round(chips_per_sec / PER_CHIP_TARGET, 4),
-    }))
+        "vs_baseline": round(inf["chips_per_sec"] / PER_CHIP_TARGET, 4),
+        "infer_batch": inf["batch"],
+        "infer_step_ms_range": [round(inf["step_ms_min"], 1),
+                                round(inf["step_ms_max"], 1)],
+        "infer_gflops_per_chip": round(inf["flops_per_chip"] / 1e9, 2),
+        "mfu": round(inf["flops_per_sec"] / peak, 4) if peak else None,
+        "device_kind": getattr(devices[0], "device_kind", platform),
+    }
+    if mode == "all":
+        tr = bench_train(platform)
+        out.update({
+            "train_chips_per_sec": round(tr["chips_per_sec"], 2),
+            "train_step_ms": round(tr["step_ms"], 1),
+            "train_step_ms_range": [round(tr["step_ms_min"], 1),
+                                    round(tr["step_ms_max"], 1)],
+            "train_batch": tr["batch"],
+            "train_gflops_per_chip": round(tr["flops_per_chip"] / 1e9, 2),
+            "train_mfu": (round(tr["flops_per_sec"] / peak, 4)
+                          if peak else None),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
