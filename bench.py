@@ -117,8 +117,10 @@ def bench_train(platform: str) -> dict:
     from instageo_tpu.train.factory import create_model
     from instageo_tpu.train.trainer import EpochMetrics, Trainer
 
+    # b=128 fits v5e HBM without remat and runs 45% faster per chip than
+    # b=32 (PERF.md): 348 vs 240 chips/s measured.
     batch = int(os.environ.get("BENCH_TRAIN_BATCH",
-                               32 if platform == "tpu" else 8))
+                               128 if platform == "tpu" else 8))
     cfg = load_config("config", overrides={
         "dataloader.img_size": 224,
         "dataloader.bands": [0, 1, 2, 3, 4, 5],
