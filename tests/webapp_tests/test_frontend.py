@@ -303,3 +303,36 @@ def test_dashboard_served_and_jobs_endpoint(tmp_path):
             assert data["jobs"][0]["status"] == "queued"
 
     _run(go())
+
+
+def test_icon_names_resolve():
+    """Every iconButton("name")/ICONS.name reference exists in ui.js's
+    ICONS table (a typo would render a wrong glyph silently)."""
+    ui_src = open(os.path.join(STATIC, "js", "ui.js")).read()
+    defined = set(re.findall(r"^\s{2}(\w+):", ui_src, re.M))
+    assert len(defined) > 20
+    used = set()
+    for path in _js_files():
+        src = open(path).read()
+        used.update(re.findall(r"iconButton\(\s*[\"'](\w+)[\"']", src))
+        used.update(re.findall(r"ICONS\.(\w+)", src))
+        for m in re.findall(r"iconButton\(([^,]+\?[^,]+),", src):
+            # ternary icon args: take only the two branch literals
+            used.update(re.findall(
+                r"\?\s*[\"'](\w+)[\"']\s*:\s*[\"'](\w+)[\"']", m)
+                and [n for pair in re.findall(
+                    r"\?\s*[\"'](\w+)[\"']\s*:\s*[\"'](\w+)[\"']", m)
+                    for n in pair])
+    used.discard("")
+    unknown = used - defined
+    assert not unknown, f"unknown icon names referenced: {sorted(unknown)}"
+
+
+def test_css_classes_used_by_components_exist():
+    """Core layout classes referenced from JS exist in app.css (sanity —
+    not exhaustive, but catches renames of the structural classes)."""
+    css = open(os.path.join(STATIC, "css", "app.css")).read()
+    for cls in ("drawer", "dialog-backdrop", "dialog", "task-card",
+                "layers-control", "viz-card", "bbox-info", "chip",
+                "progress", "spinner", "gm-map", "gm-corner", "icon-btn"):
+        assert f".{cls}" in css, f"missing CSS class .{cls}"
