@@ -46,10 +46,16 @@ async def auth_middleware(request: web.Request, handler):
         request["user"] = {"sub": "test-user", "email": "test@example.com"}
         return await handler(request)
     auth = request.headers.get("Authorization", "")
-    if not auth.startswith("Bearer "):
+    token = auth[len("Bearer "):] if auth.startswith("Bearer ") else ""
+    if not token and path.startswith("/api/titiler/"):
+        # Map tile layers load through plain <img src> (no headers), so
+        # tile routes also accept the token as a query parameter — the
+        # standard pattern for authenticated tile servers.
+        token = request.rel_url.query.get("access_token", "")
+    if not token:
         return web.json_response({"detail": "Missing bearer token"}, status=401)
     try:
-        request["user"] = get_current_user(auth[len("Bearer "):])
+        request["user"] = get_current_user(token)
     except AuthError as e:
         return web.json_response({"detail": str(e)}, status=e.status)
     return await handler(request)
@@ -85,12 +91,22 @@ async def run_model(request: web.Request) -> web.Response:
                                  status=404)
 
     user = request.get("user", {})
+    # User-tunable knobs arrive at the TOP LEVEL of the payload (the
+    # reference SPA posts {bboxes, ...modelParams}); a nested
+    # "parameters" object is also honored.
+    user_overrides = {
+        k: body[k]
+        for k in ("date", "temporal_tolerance", "cloud_coverage",
+                  "temporal_step")
+        if body.get(k) not in (None, "")
+    }
     parameters = {
         "data_source": meta.get("data_source", "HLS"),
         "chip_size": meta.get("chip_size", 224),
         "num_steps": meta.get("num_steps", 1),
         "temporal_step": meta.get("temporal_step", 30),
         "temporal_tolerance": meta.get("temporal_tolerance", 5),
+        **user_overrides,
         **(body.get("parameters") or {}),
     }
     task = Task(bboxes=bboxes, parameters=parameters,
@@ -132,12 +148,19 @@ async def queues_status(request: web.Request) -> web.Response:
 async def list_jobs_handler(request: web.Request) -> web.Response:
     """GET /api/jobs — job listing for the queue dashboard (the reference
     deploys rq-dashboard on :9181; here the dashboard is a first-class
-    backend page over the sqlite job store)."""
+    backend page over the sqlite job store). With auth enabled, jobs are
+    restricted to tasks the caller owns (args/errors carry bboxes and
+    tracebacks — same ownership rule as /api/tasks)."""
     q = request.rel_url.query
     jobs = queue.list_jobs(
         queue_name=q.get("queue"), status=q.get("status"),
         limit=min(int(q.get("limit", 100)), 500),
         db_path=request.app["db_path"])
+    if not settings.AUTH_DISABLED:
+        user_sub = request.get("user", {}).get("sub")
+        owned = {t["task_id"] for t in db.list_tasks(
+            user_sub=user_sub, db_path=request.app["db_path"])}
+        jobs = [j for j in jobs if j.get("task_id") in owned]
     return web.json_response({"jobs": jobs})
 
 
@@ -206,10 +229,16 @@ def _render_params(request: web.Request, layer: str) -> Dict[str, Any]:
     if "colormap" in q:
         try:
             raw = json.loads(q["colormap"])
-            params["colormap"] = {int(k): tuple(int(c) for c in v)
-                                  for k, v in raw.items()}
-        except (json.JSONDecodeError, ValueError, TypeError):
-            pass  # malformed colormap: fall back to defaults
+            cmap = {}
+            for k, v in raw.items():  # raises if raw isn't a mapping
+                color = tuple(int(c) for c in v)
+                if len(color) not in (3, 4):
+                    raise ValueError(f"bad color length for class {k}")
+                cmap[int(k)] = tuple(min(255, max(0, c)) for c in color)
+            params["colormap"] = cmap
+        except Exception:
+            pass  # malformed colormap (wrong JSON shape, lengths, types):
+            # fall back to the default class colors instead of 500ing
     if "rescale" in q:
         try:
             lo, hi = (float(v) for v in q["rescale"].split(","))
@@ -269,6 +298,9 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     from instageo_tpu.serve.registry import ModelRegistry
 
     app = web.Application(middlewares=[auth_middleware])
+    if settings.AUTH_DISABLED and not os.environ.get("TESTING"):
+        log.warning("API authentication is DISABLED (no AUTH0_DOMAIN "
+                    "configured) — do not expose this deployment publicly")
     app["db_path"] = db_path or settings.DATABASE_URL
     app["registry"] = ModelRegistry()
     app["tiler"] = TilerService(settings.TASKS_DATA_DIR)

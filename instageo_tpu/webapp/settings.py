@@ -17,9 +17,17 @@ class BackendSettings(BaseModel):
     TASK_TTL: int = int(os.environ.get("REDIS_TTL", 24 * 3600))
     TASKS_DATA_DIR: str = os.environ.get("TASKS_DATA_DIR", "data/tasks")
     MODELS_PATH: str = os.environ.get("MODELS_PATH", "models")
-    AUTH_DISABLED: bool = os.environ.get(
-        "AUTH_DISABLED", os.environ.get("TESTING", "")
-    ).lower() == "true"
+    # Auth is active only when an Auth0 tenant is configured — matching
+    # the SPA, which sends no tokens when window.INSTAGEO_AUTH0 is empty
+    # (the reference's frontend auth0-config.js behaves the same way).
+    # AUTH_DISABLED=true / TESTING=true force it off; AUTH_DISABLED=false
+    # forces it ON even without a domain (hard-fail deployment guard).
+    AUTH_DISABLED: bool = (
+        os.environ.get("AUTH_DISABLED",
+                       os.environ.get("TESTING", "")).lower() == "true"
+        or (os.environ.get("AUTH_DISABLED", "").lower() != "false"
+            and not os.environ.get("AUTH0_DOMAIN", ""))
+    )
 
     def __init__(self, **kw) -> None:
         super().__init__(**kw)

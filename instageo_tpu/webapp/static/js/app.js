@@ -93,23 +93,12 @@ async function boot() {
 
   const controlPanel = createControlPanel({ onRunModel: handleRunModel });
 
-  // Top-right action buttons (reference App.js toolbar)
-  const actions = el("div", { id: "top-actions" },
-    iconButton("analytics", "Open Control Panel",
-      () => controlPanel.open(), "raised"),
-    iconButton("list", "View Task History",
-      () => tasksMonitor.open(), "raised"),
-    iconButton(appStore.get("theme") === "dark" ? "light" : "dark",
-      "Toggle theme", () => {
-        appStore.set({
-          theme: appStore.get("theme") === "dark" ? "light" : "dark",
-        });
-        // refresh icon
-        actions.replaceChildren();
-        boot_actions();
-      }, "raised theme-toggle"));
-  function boot_actions() {
-    actions.append(
+  // Top-right action buttons (reference App.js toolbar). Rebuilt on theme
+  // change so the sun/moon glyph flips.
+  const actions = el("div", { id: "top-actions" });
+
+  function renderActions() {
+    actions.replaceChildren(
       iconButton("analytics", "Open Control Panel",
         () => controlPanel.open(), "raised"),
       iconButton("list", "View Task History",
@@ -119,12 +108,10 @@ async function boot() {
           appStore.set({
             theme: appStore.get("theme") === "dark" ? "light" : "dark",
           });
-          actions.replaceChildren();
-          boot_actions();
+          renderActions();
         }, "raised theme-toggle"));
   }
-  actions.replaceChildren();
-  boot_actions();
+  renderActions();
   document.body.append(actions);
 
   createFooter();

@@ -107,6 +107,14 @@ export async function getAccessToken() {
   throw new Error("Not authenticated. Please sign in to continue.");
 }
 
+/** Current token or null, synchronously (for <img>-loaded tile URLs,
+ * which cannot carry an Authorization header). */
+export function getAccessTokenSync() {
+  if (!isAuthConfigured()) return null;
+  const t = loadTokens();
+  return t && t.expires_at > Date.now() ? t.access_token : null;
+}
+
 export function isAuthenticated() {
   if (!isAuthConfigured()) return true; // auth disabled — everything open
   const t = loadTokens();

@@ -11,6 +11,7 @@ import { prefixTitilerUrl } from "../config.js";
 import { appStore } from "../store.js";
 import { generateTiTilerColormap } from "../segColors.js";
 import { generateTaskPdf } from "../report.js";
+import { getAccessTokenSync } from "../auth.js";
 
 export function createTaskLayersManager(map) {
   const live = new Map(); // taskLayer.id -> {satellite: TileLayer, prediction}
@@ -23,10 +24,16 @@ export function createTaskLayersManager(map) {
     const entry = kind === "satellite" ? layers.chips : layers.predictions;
     if (!entry || !entry.tiles) return null;
     let url = prefixTitilerUrl(entry.tiles);
+    const params = [];
     if (kind === "prediction" && taskLayer.classIndices) {
-      url += `?colormap=${encodeURIComponent(
-        generateTiTilerColormap(taskLayer.classIndices))}`;
+      params.push(`colormap=${encodeURIComponent(
+        generateTiTilerColormap(taskLayer.classIndices))}`);
     }
+    // <img>-loaded tiles can't carry an Authorization header; the
+    // backend's tile routes accept the bearer token as a query param.
+    const token = getAccessTokenSync();
+    if (token) params.push(`access_token=${encodeURIComponent(token)}`);
+    if (params.length) url += `?${params.join("&")}`;
     return url;
   }
 

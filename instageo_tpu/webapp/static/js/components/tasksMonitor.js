@@ -136,8 +136,9 @@ export function createTasksMonitor({ onAddTaskLayer }) {
 
   function stageRow(name, stage) {
     const st = stage || {};
-    const dur = st.started_at && st.completed_at
-      ? ` (${(st.completed_at - st.started_at).toFixed(0)}s)` : "";
+    const done = st.finished_at || st.completed_at;  // backend: finished_at
+    const dur = st.started_at && done
+      ? ` (${(done - st.started_at).toFixed(0)}s)` : "";
     return el("div", { class: "stage-row" },
       el("span", { class: "stage-icon",
                    style: { color: statusColor(st.status) } },
@@ -195,42 +196,62 @@ export function createTasksMonitor({ onAddTaskLayer }) {
     return card;
   }
 
-  function render() {
-    if (!dialog) return;
-    const body = dialog.body;
-    body.innerHTML = "";
+  let listBox = null;
+  let toolbar = null;
+  let modelSel = null;
+  let searchInput = null;
+  let statusSel = null;
 
-    // toolbar: search + filters + refresh (reference filter row)
-    const statusSel = el("select", { class: "input small-input",
+  function buildToolbar() {
+    // Built ONCE per dialog open: a full re-render on every keystroke
+    // would destroy the focused search input (reference keeps these as
+    // controlled React inputs for the same reason).
+    statusSel = el("select", { class: "input small-input",
       onchange: (e) => { statusFilter = e.target.value; page = 1; render(); } },
-      ...["all", "completed", "failed", "data_processing_running",
-          "model_prediction_running", "visualization_preparation_running"]
+      ...["all", "data_processing", "model_prediction",
+          "visualization_preparation", "completed", "failed"]
         .map((s) => {
           const o = el("option", { value: s },
             s === "all" ? "All statuses" : s.replace(/_/g, " "));
           if (s === statusFilter) o.selected = true;
           return o;
         }));
-    const modelSel = el("select", { class: "input small-input",
-      onchange: (e) => { modelFilter = e.target.value; page = 1; render(); } },
+    modelSel = el("select", { class: "input small-input",
+      onchange: (e) => { modelFilter = e.target.value; page = 1; render(); } });
+    refreshModelOptions();
+    searchInput = el("input", {
+      class: "input small-input", type: "search",
+      placeholder: "Search by task ID…", value: searchTerm,
+      oninput: (e) => { searchTerm = e.target.value; page = 1; render(); },
+    });
+    toolbar = el("div", { class: "monitor-toolbar" },
+      searchInput, statusSel, modelSel,
+      el("button", { class: "btn small", onclick: () => {
+        searchTerm = ""; statusFilter = "all"; modelFilter = "all";
+        searchInput.value = "";
+        statusSel.value = "all";
+        modelSel.value = "all";
+        page = 1; render();
+      } }, "Clear"),
+      iconButton("refresh", "Refresh", fetchTasks));
+    return toolbar;
+  }
+
+  function refreshModelOptions() {
+    if (!modelSel) return;
+    modelSel.replaceChildren(
       ...["all", ...new Set(models.map((m) => m.model_key))].map((k) => {
         const o = el("option", { value: k },
           k === "all" ? "All models" : k);
         if (k === modelFilter) o.selected = true;
         return o;
       }));
-    const search = el("input", {
-      class: "input small-input", type: "search",
-      placeholder: "Search by task ID…", value: searchTerm,
-      oninput: (e) => { searchTerm = e.target.value; page = 1; render(); },
-    });
-    body.append(el("div", { class: "monitor-toolbar" },
-      search, statusSel, modelSel,
-      el("button", { class: "btn small", onclick: () => {
-        searchTerm = ""; statusFilter = "all"; modelFilter = "all";
-        page = 1; render();
-      } }, "Clear"),
-      iconButton("refresh", "Refresh", fetchTasks)));
+  }
+
+  function render() {
+    if (!dialog || !listBox) return;
+    const body = listBox;
+    body.innerHTML = "";
 
     if (error) {
       const authError = isAuthenticationError(error);
@@ -274,14 +295,15 @@ export function createTasksMonitor({ onAddTaskLayer }) {
 
   function open() {
     if (dialog) return;
+    listBox = el("div", { class: "monitor-list" });
     dialog = openDialog({
       title: "Task History",
       wide: true,
       id: "tasks-monitor",
-      content: el("div"),
-      onClose: () => { stopPolling(); dialog = null; },
+      content: el("div", {}, buildToolbar(), listBox),
+      onClose: () => { stopPolling(); dialog = null; listBox = null; },
     });
-    fetchModels().then(render);
+    fetchModels().then(() => { refreshModelOptions(); render(); });
     fetchTasks();
     startPolling();
   }
