@@ -86,8 +86,8 @@ def apply_mask(
     out = chips
     for mask_type in mask_types:
         pos = MASK_DECODING_POS[data_source].get(mask_type)
-        if not pos:
-            continue
+        if pos is None:  # unknown type skipped (reference dp.py:255); a
+            continue     # falsy check would wrongly skip bit position 0
         decoded = decode_mask(masks, pos)  # (N, T, h, w)
         if masking_strategy == "each":
             m = jnp.repeat(decoded, tc // t, axis=1)
@@ -124,10 +124,24 @@ def stamp_segmentation(
     cols = jnp.clip(coords_rc[:, 1, None, None] + ocol, 0, chip_size - 1)
     vals = jnp.broadcast_to(
         labels[:, None, None].astype(dtype), rows.shape)
-    # Padded points scatter to a dummy out-of-range index (dropped).
-    big = chip_size  # out-of-bounds row for invalid points
-    rows = jnp.where(valid[:, None, None], rows, big)
-    seg = seg.at[rows.reshape(-1), cols.reshape(-1)].set(
+    big = chip_size  # out-of-bounds row: scattered with mode="drop"
+    # "Later points overwrite earlier" must be DETERMINISTIC, but JAX
+    # leaves the order of conflicting scatter updates implementation-
+    # defined. Two passes make it explicit: scatter-max each point's
+    # sequence priority, then only the winning point writes its label
+    # (a point's own clipped window cells carry one value, so residual
+    # duplicates are identical and conflict-free).
+    n_pts = coords_rc.shape[0]
+    prio = jnp.broadcast_to(
+        (jnp.arange(n_pts, dtype=jnp.int32) + 1)[:, None, None], rows.shape)
+    prio = jnp.where(valid[:, None, None], prio, 0)
+    rows_v = jnp.where(valid[:, None, None], rows, big)
+    winner = jnp.zeros((chip_size, chip_size), jnp.int32)
+    winner = winner.at[rows_v.reshape(-1), cols.reshape(-1)].max(
+        prio.reshape(-1), mode="drop")
+    mine = (prio > 0) & (prio == winner[rows, cols])
+    rows_f = jnp.where(mine, rows, big)
+    seg = seg.at[rows_f.reshape(-1), cols.reshape(-1)].set(
         vals.reshape(-1), mode="drop")
     return seg
 
@@ -225,7 +239,8 @@ def process_tile_chips(
             rc, lab, v, chip_size, window_size, is_reg))
     seg_maps = stamp(jnp.asarray(p_rc), jnp.asarray(p_lab), jnp.asarray(p_valid))
     seg_maps = jax.vmap(
-        lambda c, s: mask_segmentation_map(c, s, no_data_value))(chips, seg_maps)
+        lambda c, s: mask_segmentation_map(c, s, no_data_value,
+                                           masking_strategy))(chips, seg_maps)
 
     chip_valid = chip_has_data(chips, no_data_value)
     seg_valid = seg_has_labels(seg_maps)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 @functools.partial(
     jax.jit,
     static_argnames=("temporal_size", "bands", "constant_multiplier",
-                     "out_dtype"),
+                     "out_dtype", "img_size"),
 )
 def preprocess_chips(
     raw: jnp.ndarray,
@@ -31,15 +31,23 @@ def preprocess_chips(
     bands: Optional[Sequence[int]] = None,
     constant_multiplier: float = 1.0,
     out_dtype: jnp.dtype = jnp.float32,
+    img_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B, T·C_raw, H, W) raw ints -> normalized (B, C, T, H, W).
 
     ``mean``/``std`` are per-band (C,) arrays; band selection indexes the
-    flattened T·C axis like the reference's ``bands`` config.
+    flattened T·C axis like the reference's ``bands`` config. When chips on
+    disk are larger than the model input (e.g. chip_size=256 vs
+    img_size=224 — the reference crops in the loader,
+    dataloader.py:58-77), ``img_size`` center-crops deterministically.
     """
     x = raw
     if bands is not None:
         x = x[:, list(bands)]
+    if img_size is not None and x.shape[-1] > img_size:
+        off_h = (x.shape[-2] - img_size) // 2
+        off_w = (x.shape[-1] - img_size) // 2
+        x = x[..., off_h:off_h + img_size, off_w:off_w + img_size]
     b, tc, h, w = x.shape
     c = tc // temporal_size
     x = x.astype(jnp.float32) * constant_multiplier
@@ -52,7 +60,8 @@ def make_fused_predict_fn(model, variables, mean, std, *,
                           temporal_size: int = 1,
                           bands: Optional[Sequence[int]] = None,
                           constant_multiplier: float = 1.0,
-                          is_reg_task: bool = False):
+                          is_reg_task: bool = False,
+                          img_size: Optional[int] = None):
     """One jitted call: raw uint16 chips -> predictions.
 
     Preprocess + forward + argmax fuse into a single XLA program, so the
@@ -66,7 +75,8 @@ def make_fused_predict_fn(model, variables, mean, std, *,
     def predict(raw):
         x = preprocess_chips(raw, mean, std, temporal_size=temporal_size,
                              bands=bands_t,
-                             constant_multiplier=constant_multiplier)
+                             constant_multiplier=constant_multiplier,
+                             img_size=img_size)
         logits = model.apply(variables, x, train=False)
         if is_reg_task:
             return logits[:, 0].astype(jnp.float32)

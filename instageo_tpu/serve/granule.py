@@ -11,6 +11,7 @@ batches.
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import time
@@ -25,6 +26,32 @@ from instageo_tpu.ops.chip_ops import extract_chips
 from instageo_tpu.ops.preprocess import preprocess_chips
 
 log = logging.getLogger(__name__)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "chip_size", "temporal_size", "bands",
+                     "constant_multiplier", "is_reg_task", "no_data_value"))
+def _predict_tile_batch(model, variables, tile, coords_batch, mean, std, *,
+                        chip_size, temporal_size, bands,
+                        constant_multiplier, is_reg_task, no_data_value):
+    """Jitted once per (model, static config) at MODULE scope: defining it
+    inside granule_inference with the tile closed over would retrace and
+    recompile per granule (minutes each through the remote-compile
+    service) and embed the multi-hundred-MB tile as a jaxpr constant."""
+    chips = extract_chips(tile, coords_batch, chip_size)
+    x = preprocess_chips(chips, mean, std, temporal_size=temporal_size,
+                         bands=bands,
+                         constant_multiplier=constant_multiplier)
+    logits = model.apply(variables, x, train=False)
+    # Pixels with no input data in ANY band get the output nodata value
+    # (-1 for seg, NaN for reg) instead of a confident prediction.
+    no_data = (chips == no_data_value).all(axis=1)
+    if is_reg_task:
+        preds = logits[:, 0].astype(jnp.float32)
+        return jnp.where(no_data, jnp.nan, preds)
+    preds = jnp.argmax(logits, axis=1).astype(jnp.int8)
+    return jnp.where(no_data, jnp.int8(-1), preds)
 
 
 def granule_inference(
@@ -56,19 +83,8 @@ def granule_inference(
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
     bands_t = tuple(bands) if bands is not None else None
-
     tile_dev = jax.device_put(tile)
-
-    @jax.jit
-    def predict_batch(coords_batch):
-        chips = extract_chips(tile_dev, coords_batch, chip_size)
-        x = preprocess_chips(chips, mean_a, std_a,
-                             temporal_size=temporal_size, bands=bands_t,
-                             constant_multiplier=constant_multiplier)
-        logits = model.apply(variables, x, train=False)
-        if is_reg_task:
-            return logits[:, 0].astype(jnp.float32)
-        return jnp.argmax(logits, axis=1).astype(jnp.int8)
+    variables_dev = variables
 
     out_dtype = np.float32 if is_reg_task else np.int8
     pred = np.zeros((ny * chip_size, nx * chip_size), out_dtype)
@@ -77,7 +93,11 @@ def granule_inference(
         [coords, np.zeros((n_pad - n, 2), np.int32)]) if n_pad > n else coords
     for i in range(0, n_pad, batch_size):
         cb = jnp.asarray(coords_pad[i : i + batch_size])
-        preds = np.asarray(jax.device_get(predict_batch(cb)))
+        preds = np.asarray(jax.device_get(_predict_tile_batch(
+            model, variables_dev, tile_dev, cb, mean_a, std_a,
+            chip_size=chip_size, temporal_size=temporal_size, bands=bands_t,
+            constant_multiplier=constant_multiplier,
+            is_reg_task=is_reg_task, no_data_value=float(no_data_value))))
         for j, (cx, cy) in enumerate(coords_pad[i : i + batch_size]):
             if i + j >= n:
                 break

@@ -75,6 +75,7 @@ def chip_inference_from_paths(
     is_reg_task: bool = False,
     batch_size: int = 64,
     num_write_threads: int = 4,
+    img_size: Optional[int] = None,
 ) -> Tuple[int, float]:
     """Fully-fused inference: raw chips -> device -> predictions.
 
@@ -114,7 +115,7 @@ def chip_inference_from_paths(
     predict = make_fused_predict_fn(
         model, variables, mean, std, temporal_size=temporal_size,
         bands=bands, constant_multiplier=constant_multiplier,
-        is_reg_task=is_reg_task)
+        is_reg_task=is_reg_task, img_size=img_size)
 
     n = 0
     t0 = time.time()
@@ -184,6 +185,10 @@ def chip_inference(
                     pool.submit(save_prediction, p, f, out_dir, is_reg_task))
 
         for batch in dataloader:
+            # The third element is the per-chip nodata mask from
+            # infer_collate; the reference's loop discards it too
+            # (infer_utils.py:92 `for (data, _), file_names`) — predictions
+            # cover every pixel, matching reference outputs bit-for-bit.
             x, files, _ = batch
             if predict is None:
                 predict = make_predict_fn(model, variables, is_reg_task)

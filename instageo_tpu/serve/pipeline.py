@@ -145,6 +145,9 @@ class EvaluationPipeline:
                     cfg.dataloader.get("constant_multiplier", 1.0)),
                 is_reg_task=bool(cfg.get("is_reg_task", False)),
                 batch_size=int(cfg.train.get("batch_size", 8)),
+                # chips on disk may exceed the model input (chip_size 256
+                # vs img_size 224); the loader path crops, so must we
+                img_size=int(cfg.dataloader.get("img_size", 224)),
             )
             server.requests_served += 1
             return {"num_chips": n, "inference_time": dt,

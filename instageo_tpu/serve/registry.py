@@ -32,7 +32,9 @@ class ModelInfo(BaseModel):
     num_steps: int = 1
     temporal_step: int = 30
     temporal_tolerance: int = 5
-    sizes: List[str] = []
+    # size name -> per-size overrides (model_name, gcs_folder, ...), as
+    # stored in models_registry.yaml and read by get_model_metadata_for_size
+    sizes: Dict[str, Dict[str, Any]] = {}
     default_size: str = "base"
     extra: Dict[str, Any] = {}
 
@@ -92,10 +94,18 @@ class ModelRegistry:
             return ConfigDict.wrap(yaml.safe_load(f))
 
     def get_checkpoint_path(self, model_key: str, size: str) -> str:
-        """Per-model best-checkpoint path (reference tasks.py:605-619)."""
+        """Per-model best-checkpoint path (reference tasks.py:605-619).
+
+        Raises FileNotFoundError at the lookup (where the cause is clear)
+        instead of handing callers a nonexistent path that only fails deep
+        inside checkpoint loading.
+        """
         base = os.path.join(self.models_path, model_key, size)
         for name in ("instageo_best_checkpoint", "instageo_best_checkpoint.ckpt"):
             p = os.path.join(base, name)
             if os.path.exists(p):
                 return p
-        return os.path.join(base, "instageo_best_checkpoint")
+        raise FileNotFoundError(
+            f"No checkpoint for model {model_key!r} size {size!r} under "
+            f"{base} (expected instageo_best_checkpoint[.ckpt]; run "
+            f"model_registry_sync.sh or set MODELS_PATH)")

@@ -127,3 +127,69 @@ def test_process_tile_chips_end_to_end():
     assert segs[1][10 - 8, 12 - 8] == 2
     # seg pixel under cloud is invalidated
     assert segs[0][0, 0] == -1
+
+
+def test_seg_invalidation_follows_masking_strategy():
+    """'each' (pixel valid if ANY band has data) must flow through
+    process_tile_chips to mask_segmentation_map (review fix)."""
+    from instageo_tpu.ops.chip_ops import process_tile_chips
+
+    tile = np.full((2, 32, 32), 100, np.float32)
+    tile[0, 4, 4] = 0  # band 0 nodata at the labeled pixel; band 1 has data
+    coords = np.array([[0, 0]], np.int32)
+    rc = np.array([[4, 4]], np.int32)
+    labels = np.array([1.0], np.float32)
+    owner = np.array([0], np.int64)
+
+    for strategy, expect in (("each", 1), ("any", -1)):
+        _, segs, _, _ = process_tile_chips(
+            tile, None, coords, rc, labels, owner, chip_size=32,
+            no_data_value=0, mask_types=(), masking_strategy=strategy,
+            window_size=0)
+        assert segs[0, 4, 4] == expect, (strategy, segs[0, 4, 4])
+
+
+def test_stamp_segmentation_later_point_wins_deterministically():
+    """Overlapping windows: the LAST point's label wins (reference numpy
+    assignment order), regardless of JAX scatter ordering."""
+    from instageo_tpu.ops.chip_ops import stamp_segmentation
+
+    rc = jnp.array([[5, 5], [6, 6]], jnp.int32)   # windows overlap at (5..7)
+    labels = jnp.array([1.0, 2.0])
+    valid = jnp.array([True, True])
+    seg = np.asarray(stamp_segmentation(rc, labels, valid, 32, window_size=1))
+    # overlap cells (5,5)..(7,7) ∩: rows/cols 5-6 — point 2 stamped later
+    assert seg[6, 6] == 2 and seg[5, 5] == 2 and seg[6, 5] == 2
+    assert seg[4, 4] == 1  # only point 1's window
+    assert seg[7, 7] == 2  # only point 2's window
+    # reversed order flips the overlap winner
+    seg2 = np.asarray(stamp_segmentation(rc[::-1], labels[::-1], valid, 32,
+                                         window_size=1))
+    assert seg2[6, 6] == 1 and seg2[5, 5] == 1
+
+
+def test_apply_mask_bit_position_zero():
+    """A mask decode position of 0 (a real Fmask bit) must not be skipped
+    by a falsy check."""
+    from unittest.mock import patch
+
+    from instageo_tpu.ops import chip_ops
+
+    chips = jnp.full((1, 2, 4, 4), 9.0)
+    masks = jnp.zeros((1, 1, 4, 4), jnp.int32).at[0, 0, 1, 1].set(1)  # bit 0
+    with patch.dict(chip_ops.MASK_DECODING_POS["HLS"], {"cirrus": 0}):
+        out = chip_ops.apply_mask(chips, masks, 0.0, "HLS", ("cirrus",),
+                                  "any")
+    assert np.asarray(out)[0, :, 1, 1].tolist() == [0.0, 0.0]
+    assert np.asarray(out)[0, 0, 0, 0] == 9.0
+
+
+def test_preprocess_chips_center_crops_to_img_size():
+    from instageo_tpu.ops.preprocess import preprocess_chips
+
+    raw = jnp.arange(1 * 6 * 32 * 32, dtype=jnp.uint16).reshape(1, 6, 32, 32)
+    out = preprocess_chips(raw, jnp.zeros(6), jnp.ones(6), img_size=16)
+    assert out.shape == (1, 6, 1, 16, 16)
+    # center crop: offset (32-16)//2 = 8
+    expected = raw[:, 0, 8:24, 8:24].astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], np.asarray(expected)[0])

@@ -53,3 +53,17 @@ def test_granule_inference_to_file(tmp_path):
         assert r.transform.c == 499980
         arr = r.read(1)
     assert arr.dtype == np.int8
+
+
+def test_granule_nodata_pixels_masked():
+    """Pixels with no input data in any band get -1 (seg) in the stitched
+    prediction instead of a confident class (review fix)."""
+    model, variables = _model()
+    tile = np.random.default_rng(0).uniform(
+        1, 10, size=(6, 64, 64)).astype(np.float32)
+    tile[:, :8, :8] = 0.0  # all-band nodata corner
+    pred, _ = granule_inference(
+        tile, model, variables, mean=[5.0] * 6, std=[3.0] * 6,
+        chip_size=32, no_data_value=0)
+    assert (pred[:8, :8] == -1).all()
+    assert (pred[16:, 16:] >= 0).all()

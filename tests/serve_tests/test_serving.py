@@ -144,3 +144,16 @@ def test_model_registry(tmp_path):
 
     with pytest.raises(KeyError):
         reg.get_model_metadata("nope")
+
+
+def test_missing_checkpoint_raises_at_lookup(tmp_path, monkeypatch):
+    """get_checkpoint_path fails fast with an actionable error instead of
+    returning a nonexistent path (review fix)."""
+    import pytest
+
+    from instageo_tpu.serve.registry import ModelRegistry
+
+    monkeypatch.setenv("MODELS_PATH", str(tmp_path))
+    reg = ModelRegistry(models_path=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="flood_mapping"):
+        reg.get_checkpoint_path("flood_mapping", "base")
