@@ -28,7 +28,7 @@ from instageo_tpu.webapp.tiler import TilerService
 
 log = logging.getLogger(__name__)
 
-PUBLIC_ROUTES = {"/api/health", "/api/docs"}
+PUBLIC_ROUTES = {"/api/health", "/api/docs", "/api/openapi.json"}
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +321,11 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     app.router.add_get("/api/models", list_models)
     app.router.add_get("/api/models/{name}", get_model)
     app.router.add_get("/api/health", health)
+    # API reference (the reference's FastAPI auto-serves Swagger/openapi).
+    from instageo_tpu.webapp.docs import docs_page, openapi_json
+
+    app.router.add_get("/api/docs", docs_page)
+    app.router.add_get("/api/openapi.json", openapi_json)
     app.router.add_get("/api/visualize/{task_id}", visualize)
     app.router.add_get("/api/titiler/{task_id}/{layer}/tiles/{z}/{x}/{y}.png",
                        tile_png)
