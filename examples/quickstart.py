@@ -16,6 +16,9 @@ import sys
 import numpy as np
 import pandas as pd
 
+# Runnable from anywhere without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def make_dataset(root: str, n: int = 16, size: int = 32) -> None:
     from instageo_tpu.data.geotiff import Affine, write_geotiff

@@ -63,19 +63,38 @@ def _load_grid_records() -> pd.DataFrame:
             bboxes, FLAGS.date, FLAGS.chip_size, FLAGS.spatial_resolution,
             FLAGS.src_crs)
     records = pd.read_csv(FLAGS.records_file)
+    from instageo_tpu.data.crs import Transformer
     from instageo_tpu.data.geotiff import GeoTiffReader
     from instageo_tpu.data.geo_utils import get_polygon_tile_ids
+
+    def _reproject_bbox(bbox, src, dst):
+        """Axis-aligned hull of the bbox's corners in the target CRS."""
+        if src == dst:
+            return bbox
+        t = Transformer.from_crs(src, dst, always_xy=True)
+        xs, ys = t.transform(
+            [bbox[0], bbox[2], bbox[0], bbox[2]],
+            [bbox[1], bbox[1], bbox[3], bbox[3]])
+        return (float(min(xs)), float(min(ys)),
+                float(max(xs)), float(max(ys)))
 
     rows = []
     for _, rec in records.iterrows():
         path = os.path.join(FLAGS.raster_path, rec["label_filename"])
         with GeoTiffReader(path) as r:
             t = r.transform
+            raster_crs = r.crs or 4326
             x0, y0 = t * (0, 0)
             x1, y1 = t * (r.width, r.height)
-        bbox = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+        native = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+        # The pipeline slices chips with ``bbox`` interpreted in src_crs;
+        # MGRS/STAC dispatch needs true 4326 (the reference reprojects its
+        # geo records the same way — raster_chip_creator.py:102).
         rows.append({"label_filename": rec["label_filename"],
-                     "date": rec["date"], "bbox": bbox, "bbox_4326": bbox})
+                     "date": rec["date"],
+                     "bbox": _reproject_bbox(native, raster_crs,
+                                             FLAGS.src_crs),
+                     "bbox_4326": _reproject_bbox(native, raster_crs, 4326)})
     df = pd.DataFrame(rows)
     df["mgrs_tile_id"] = df["bbox_4326"].map(
         lambda b: sorted(get_polygon_tile_ids(b)))
