@@ -64,6 +64,10 @@ class DataProcessor:
 
         from instageo_tpu.data import raster_chip_creator
 
+        # Workers are long-lived and flags are process-global: reset so a
+        # previous task's optional flags (e.g. mask_types) don't leak into
+        # tasks that omit them.
+        raster_chip_creator.FLAGS.unparse_flags()
         raster_chip_creator.FLAGS(argv)
         raster_chip_creator.main(None)
 
