@@ -11,7 +11,8 @@ BASELINE.json sets the north-star at >5,000 chips/s on a v5e-8 pod, i.e.
 625 chips/s per chip. ``vs_baseline`` is measured-throughput scaled to the
 device count divided by that target.
 
-Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH, BENCH_MODE
+Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH,
+BENCH_STEPS_PER_CALL (train steps chained per jitted call), BENCH_MODE
 (``all``|``infer``).
 """
 
@@ -22,6 +23,16 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: repeat bench runs (and the driver's
+# round-end run on the same machine) skip the multi-minute remote compile.
+_cache_dir = os.environ.get("JAX_BENCH_CACHE_DIR", "/tmp/instageo_jax_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 PER_CHIP_TARGET = 625.0  # 5000 chips/s on 8 chips
 
@@ -46,9 +57,21 @@ def _peak_flops(device) -> float:
 
 
 def _step_flops(jitted, *args) -> float:
-    """Model FLOPs per call from XLA cost analysis (telemetry ground truth)."""
+    """Model FLOPs per call from XLA cost analysis (telemetry ground truth).
+
+    Prefers the UNcompiled lowering's estimate (free — no multi-minute
+    remote compile for a program that is never executed); falls back to
+    compiled cost analysis."""
     try:
-        cost = jitted.lower(*args).compile().cost_analysis() or {}
+        lowered = jitted.lower(*args)
+        try:
+            cost = lowered.cost_analysis() or {}
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                return flops
+        except Exception:
+            pass
+        cost = lowered.compile().cost_analysis() or {}
         return float(cost.get("flops", 0.0))
     except Exception:
         return 0.0
@@ -121,6 +144,11 @@ def bench_train(platform: str) -> dict:
     # b=32 (PERF.md): 348 vs 240 chips/s measured.
     batch = int(os.environ.get("BENCH_TRAIN_BATCH",
                                128 if platform == "tpu" else 8))
+    # Chain k steps per jitted call (lax.scan) to amortize the per-call
+    # dispatch/relay overhead — +20% at b=32, +3% at b=128 (PERF.md).
+    # Default 1: at the bench's b=128 the gain is small and the extra
+    # scan-program compile would dominate the bench's wall time.
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", 1))
     cfg = load_config("config", overrides={
         "dataloader.img_size": 224,
         "dataloader.bands": [0, 1, 2, 3, 4, 5],
@@ -129,6 +157,7 @@ def bench_train(platform: str) -> dict:
         "train.batch_size": batch,
         "train.ignore_index": -1,
         "tpu.precision": "bf16",
+        "tpu.steps_per_call": spc,
     })
     model, variables = create_model(cfg)
     trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
@@ -139,9 +168,6 @@ def bench_train(platform: str) -> dict:
     metrics0 = EpochMetrics.empty(trainer.num_classes)
     key = jax.random.PRNGKey(0)
 
-    flops = _step_flops(trainer._train_step, trainer.state, xd, yd, key,
-                        metrics0)
-
     # Time the pure device step on device-resident batches (state is
     # donated and re-threaded). Production training overlaps host
     # transfer with compute via the prefetching loader, so step time on
@@ -150,20 +176,39 @@ def bench_train(platform: str) -> dict:
     # tunnel. The per-iteration scalar fetch of loss_sum is the sync.
     holder = {"state": trainer.state, "metrics": metrics0}
 
-    def one_step(i):
-        holder["state"], holder["metrics"] = trainer._train_step(
-            holder["state"], xd, yd, jax.random.fold_in(key, i),
-            holder["metrics"])
-        return holder["metrics"].loss_sum
+    # Per-step FLOPs from the single-step program (cost analysis of the
+    # scan program counts the body only once on current XLA, so it is not
+    # used as the source of truth).
+    flops = _step_flops(trainer._train_step, trainer.state, xd, yd, key,
+                        metrics0)
+
+    if spc > 1:
+        xs = jnp.asarray(np.stack([np.asarray(xd)] * spc))
+        ys = jnp.asarray(np.stack([np.asarray(yd)] * spc))
+
+        def one_step(i):
+            rngs = jnp.stack([jax.random.fold_in(key, i * spc + j)
+                              for j in range(spc)])
+            holder["state"], holder["metrics"] = trainer._train_scan(
+                holder["state"], xs, ys, rngs, holder["metrics"])
+            return holder["metrics"].loss_sum
+    else:
+        def one_step(i):
+            holder["state"], holder["metrics"] = trainer._train_step(
+                holder["state"], xd, yd, jax.random.fold_in(key, i),
+                holder["metrics"])
+            return holder["metrics"].loss_sum
 
     iters = 8 if platform == "tpu" else 2
     sec, times = _time_iters(one_step, iters)
+    sec /= spc
     return {
         "batch": batch,
+        "steps_per_call": spc,
         "chips_per_sec": batch / sec,
         "step_ms": sec * 1e3,
-        "step_ms_min": min(times) * 1e3,
-        "step_ms_max": max(times) * 1e3,
+        "step_ms_min": min(times) / spc * 1e3,
+        "step_ms_max": max(times) / spc * 1e3,
         "flops_per_chip": flops / batch if batch else 0.0,
         "flops_per_sec": flops / sec,
     }
@@ -196,6 +241,7 @@ def main() -> None:
             "train_step_ms_range": [round(tr["step_ms_min"], 1),
                                     round(tr["step_ms_max"], 1)],
             "train_batch": tr["batch"],
+            "train_steps_per_call": tr["steps_per_call"],
             "train_gflops_per_chip": round(tr["flops_per_chip"] / 1e9, 2),
             "train_mfu": (round(tr["flops_per_sec"] / peak, 4)
                           if peak else None),

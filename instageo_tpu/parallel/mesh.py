@@ -72,6 +72,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(put, batch)
 
 
+def shard_stacked_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put ``(k, B, ...)`` step-stacked arrays, sharding the BATCH
+    (second) axis over the data mesh; the leading axis is the scan axis of
+    a multi-step training call and stays unsharded."""
+    if _single_device(mesh):
+        return jax.tree.map(lambda x: jax.device_put(np.asarray(x)), batch)
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), sharding), batch)
+
+
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree across the mesh."""
     if _single_device(mesh):
