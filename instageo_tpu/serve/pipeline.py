@@ -34,6 +34,9 @@ class EvaluationPipeline:
     """Reference ``RayEvaluationPipeline`` surface (:135-373)."""
 
     def __init__(self, cfg: ConfigDict) -> None:
+        from instageo_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()  # serving restarts / workers start hot
         self.cfg = cfg
         self.server: Optional[ModelServer] = None
         self._validate()

@@ -80,6 +80,9 @@ def main(argv: Optional[List[str]] = None) -> Any:
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     cfg = load_config_from_argv(argv if argv is not None else sys.argv[1:])
     log.info("Resolved config:\n%s", cfg.to_yaml())
+    from instageo_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # re-runs/eval-after-train start hot
     start_time = time.time()
     mode = cfg.get("mode", "train")
 

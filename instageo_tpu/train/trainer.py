@@ -147,6 +147,8 @@ class Trainer:
         self._train_scan = (self._build_train_scan()
                             if self.steps_per_call > 1 else None)
         self._eval_step = self._build_eval_step()
+        self._eval_scan = (self._build_eval_scan()
+                           if self.steps_per_call > 1 else None)
 
     # -- step builders ----------------------------------------------------
 
@@ -256,20 +258,39 @@ class Trainer:
 
         return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
-    def _build_eval_step(self) -> Callable:
-        def step(state: TrainState, x, labels, metrics: EpochMetrics,
-                 with_auc: bool, return_logits: bool):
-            logits = self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x, train=False)
-            loss = self._loss(logits, labels, None)
-            new_metrics = self._update_metrics(metrics, logits, labels, loss,
-                                               with_auc)
-            # Returning logits from the same jitted step keeps plot
-            # collection at ONE forward per eval batch.
-            return new_metrics, (logits if return_logits else loss)
+    def _eval_step_body(self, state: TrainState, x, labels,
+                        metrics: EpochMetrics, with_auc: bool,
+                        return_logits: bool):
+        logits = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+        loss = self._loss(logits, labels, None)
+        new_metrics = self._update_metrics(metrics, logits, labels, loss,
+                                           with_auc)
+        # Returning logits from the same jitted step keeps plot
+        # collection at ONE forward per eval batch.
+        return new_metrics, (logits if return_logits else loss)
 
-        return jax.jit(step, static_argnames=("with_auc", "return_logits"))
+    def _build_eval_step(self) -> Callable:
+        return jax.jit(self._eval_step_body,
+                       static_argnames=("with_auc", "return_logits"))
+
+    def _build_eval_scan(self) -> Callable:
+        """k metrics-only eval steps in one jitted call (see
+        ``_build_train_scan`` — same per-dispatch amortization; test
+        epochs over sliding-window crops are many small batches)."""
+
+        def multi(state: TrainState, xs, ys, metrics: EpochMetrics,
+                  with_auc: bool):
+            def body(m, batch):
+                x, y = batch
+                m, _ = self._eval_step_body(state, x, y, m, with_auc, False)
+                return m, None
+
+            metrics, _ = jax.lax.scan(body, metrics, (xs, ys))
+            return metrics
+
+        return jax.jit(multi, static_argnames=("with_auc",))
 
     # -- epoch loops -------------------------------------------------------
 
@@ -345,6 +366,9 @@ class Trainer:
                        collect_outputs: bool = False) -> Dict:
         metrics = EpochMetrics.empty(self.num_classes)
         with_auc = step_type == "test" and not self.is_reg
+        if self._eval_scan is not None and not collect_outputs:
+            return self._run_eval_epoch_scanned(batches, batch_size,
+                                                step_type, with_auc, metrics)
         collected_p, collected_y = [], []
         for x, y in batches:
             n_real = np.asarray(x).shape[0]
@@ -366,6 +390,33 @@ class Trainer:
             out["_preds"] = np.concatenate(collected_p)
             out["_labels"] = np.concatenate(collected_y)
         return out
+
+    def _run_eval_epoch_scanned(self, batches, batch_size, step_type,
+                                with_auc, metrics) -> Dict:
+        k = self.steps_per_call
+        group = []
+
+        def flush(group, metrics):
+            if len(group) == k:
+                xs = np.stack([g[0] for g in group])
+                ys = np.stack([g[1] for g in group])
+                xs, ys = shard_stacked_batch((xs, ys), self.mesh)
+                return self._eval_scan(self.state, xs, ys, metrics,
+                                       with_auc=with_auc)
+            for x, y in group:
+                x, y = self._shard(x, y)
+                metrics, _ = self._eval_step(self.state, x, y, metrics,
+                                             with_auc, False)
+            return metrics
+
+        for x, y in batches:
+            group.append(self._prepare_host(x, y, batch_size))
+            if len(group) == k:
+                metrics = flush(group, metrics)
+                group = []
+        if group:
+            metrics = flush(group, metrics)
+        return self._finalize(metrics, step_type, with_auc=with_auc)
 
     def _finalize(self, metrics: EpochMetrics, step_type: str,
                   with_auc: bool) -> Dict:

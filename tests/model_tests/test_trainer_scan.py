@@ -71,6 +71,38 @@ def test_scan_matches_single_step(n_batches):
         np.testing.assert_allclose(a, b, rtol=5e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("n_batches", [8, 6])
+def test_eval_scan_matches_single_step(n_batches):
+    # Same trained-from-init params in both trainers; eval is stateless so
+    # the only differences can be float reassociation.
+    data = _data(n_batches)
+    results = []
+    for k in (1, 4):
+        cfg = _cfg(**{"tpu.steps_per_call": k})
+        model, variables = create_model(cfg)
+        trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+        results.append(trainer.run_eval_epoch(iter(data), 8, "test"))
+    m1, mk = results
+    assert m1["test_loss"] == pytest.approx(mk["test_loss"], rel=1e-5)
+    assert m1["test_IoU"] == pytest.approx(mk["test_IoU"], rel=2e-2)
+    assert m1["test_roc_auc"] == pytest.approx(mk["test_roc_auc"], rel=1e-3)
+
+
+def test_eval_scan_collect_outputs_falls_back():
+    # Regression plot collection needs per-batch logits; the scanned path
+    # must defer to the single-step path there.
+    cfg = _cfg(**{"tpu.steps_per_call": 4, "is_reg_task": True,
+                  "model.num_classes": 1, "model.plot_reg_results": True})
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+    rng = np.random.default_rng(0)
+    data = [(rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32),
+             rng.uniform(0, 5, size=(8, 32, 32)).astype(np.float32))
+            for _ in range(2)]
+    out = trainer.run_eval_epoch(iter(data), 8, "val", collect_outputs=True)
+    assert "_preds" in out and len(out["_preds"]) > 0
+
+
 def test_scan_group_smaller_than_epoch():
     # k larger than the number of batches: everything goes through the
     # single-step tail path.
