@@ -67,6 +67,19 @@ def extract_chips(tile: jnp.ndarray, coords: jnp.ndarray, chip_size: int) -> jnp
     return jax.vmap(one)(coords.astype(jnp.int32))
 
 
+def extract_chips_px(tile: jnp.ndarray, offsets_px: jnp.ndarray,
+                     chip_size: int) -> jnp.ndarray:
+    """Gather chips at PIXEL offsets: (B, H, W) + (N, 2) xy pixel starts ->
+    (N, B, cs, cs). Unlike :func:`extract_chips`, starts need not lie on the
+    chip grid — used by overlapped granule inference."""
+
+    def one(xy):
+        return jax.lax.dynamic_slice(
+            tile, (0, xy[1], xy[0]), (tile.shape[0], chip_size, chip_size))
+
+    return jax.vmap(one)(offsets_px.astype(jnp.int32))
+
+
 def apply_mask(
     chips: jnp.ndarray,
     masks: jnp.ndarray,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from instageo_tpu.data.geotiff import Affine, write_geotiff
-from instageo_tpu.ops.chip_ops import extract_chips
+from instageo_tpu.ops.chip_ops import extract_chips_px
 from instageo_tpu.ops.preprocess import preprocess_chips
 
 log = logging.getLogger(__name__)
@@ -39,7 +39,7 @@ def _predict_tile_batch(model, variables, tile, coords_batch, mean, std, *,
     inside granule_inference with the tile closed over would retrace and
     recompile per granule (minutes each through the remote-compile
     service) and embed the multi-hundred-MB tile as a jaxpr constant."""
-    chips = extract_chips(tile, coords_batch, chip_size)
+    chips = extract_chips_px(tile, coords_batch, chip_size)
     x = preprocess_chips(chips, mean, std, temporal_size=temporal_size,
                          bands=bands,
                          constant_multiplier=constant_multiplier)
@@ -68,17 +68,36 @@ def granule_inference(
     is_reg_task: bool = False,
     batch_size: int = 32,
     no_data_value: float = 0,
+    overlap: int = 0,
 ) -> Tuple[np.ndarray, float]:
-    """Predict over a whole (T·C, H, W) tile; returns (pred (H', W'), secs).
+    """Predict over a whole (T·C, H, W) tile; returns (pred (H, W), secs).
 
-    The tile is cropped to whole chips (H' = ⌊H/cs⌋·cs); chips never touch
-    the host between extraction and prediction.
+    The chip grid covers the FULL tile: starts step by ``chip_size −
+    2·overlap`` and the last start in each axis clamps to the tile edge, so
+    remainders (e.g. 3660 = 16·224 + 76) are predicted, not dropped.
+
+    ``overlap > 0`` discards each chip prediction's ``overlap``-pixel border
+    (except along tile edges) when stitching — the standard remedy for
+    seam artifacts from convolution padding / patch-boundary effects in
+    tiled segmentation (tiling-artifact literature recommendation). Chips
+    never touch the host between extraction and prediction.
     """
     t0 = time.time()
     tc, h, w = tile.shape
-    ny, nx = h // chip_size, w // chip_size
-    coords = np.stack(np.meshgrid(np.arange(nx), np.arange(ny)), -1
-                      ).reshape(-1, 2).astype(np.int32)  # (N, [x, y])
+    if h < chip_size or w < chip_size:
+        raise ValueError(f"tile {h}x{w} smaller than chip_size {chip_size}")
+    if not 0 <= overlap < chip_size // 2:
+        raise ValueError(f"overlap must be in [0, chip_size/2), got {overlap}")
+    stride = chip_size - 2 * overlap
+
+    def _starts(dim: int) -> np.ndarray:
+        s = list(range(0, dim - chip_size + 1, stride))
+        if s[-1] != dim - chip_size:
+            s.append(dim - chip_size)
+        return np.asarray(s, np.int32)
+
+    ys, xs = _starts(h), _starts(w)
+    coords = np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2)  # (N, [x, y]) px
     n = len(coords)
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
@@ -87,7 +106,7 @@ def granule_inference(
     variables_dev = variables
 
     out_dtype = np.float32 if is_reg_task else np.int8
-    pred = np.zeros((ny * chip_size, nx * chip_size), out_dtype)
+    pred = np.zeros((h, w), out_dtype)
     n_pad = math.ceil(n / batch_size) * batch_size
     coords_pad = np.concatenate(
         [coords, np.zeros((n_pad - n, 2), np.int32)]) if n_pad > n else coords
@@ -101,8 +120,12 @@ def granule_inference(
         for j, (cx, cy) in enumerate(coords_pad[i : i + batch_size]):
             if i + j >= n:
                 break
-            pred[cy * chip_size : (cy + 1) * chip_size,
-                 cx * chip_size : (cx + 1) * chip_size] = preds[j]
+            # Interior crop: drop the overlap margin except at tile edges.
+            x0 = cx + (overlap if cx > 0 else 0)
+            y0 = cy + (overlap if cy > 0 else 0)
+            x1 = cx + chip_size - (overlap if cx + chip_size < w else 0)
+            y1 = cy + chip_size - (overlap if cy + chip_size < h else 0)
+            pred[y0:y1, x0:x1] = preds[j, y0 - cy : y1 - cy, x0 - cx : x1 - cx]
     dt = time.time() - t0
     log.info("granule_inference: %d chips in %.2fs (%.1f chips/s)", n, dt,
              n / dt if dt else 0)

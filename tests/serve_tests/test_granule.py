@@ -55,6 +55,54 @@ def test_granule_inference_to_file(tmp_path):
     assert arr.dtype == np.int8
 
 
+def test_granule_full_coverage_of_remainders():
+    """Non-multiple tiles are fully covered: the last chip row/col clamps
+    to the tile edge (a 3660px HLS tile no longer loses its 76px strip)."""
+    rng = np.random.default_rng(2)
+    tile = rng.integers(1, 10000, size=(6, 80, 100)).astype(np.uint16)
+    model, variables = _model()
+    pred, _ = granule_inference(
+        tile, model, variables, mean=[5000.0] * 6, std=[3000.0] * 6,
+        chip_size=32, batch_size=4)
+    assert pred.shape == (80, 100)
+
+    from instageo_tpu.ops.preprocess import make_fused_predict_fn
+
+    predict = make_fused_predict_fn(model, variables, [5000.0] * 6,
+                                    [3000.0] * 6)
+    # The bottom-right corner comes from the edge-clamped chip at (68, 48).
+    corner = np.asarray(predict(
+        jax.numpy.asarray(tile[None, :, 48:80, 68:100])))
+    np.testing.assert_array_equal(pred[48:, 68:], corner[0])
+
+
+def test_granule_overlap_discards_borders():
+    rng = np.random.default_rng(3)
+    tile = rng.integers(1, 10000, size=(6, 96, 96)).astype(np.uint16)
+    model, variables = _model()
+    pred, _ = granule_inference(
+        tile, model, variables, mean=[5000.0] * 6, std=[3000.0] * 6,
+        chip_size=32, batch_size=8, overlap=4)
+    assert pred.shape == (96, 96)
+
+    from instageo_tpu.ops.preprocess import make_fused_predict_fn
+
+    predict = make_fused_predict_fn(model, variables, [5000.0] * 6,
+                                    [3000.0] * 6)
+    # An interior chip's CENTER must match its standalone prediction (the
+    # center is never overwritten by a later chip's interior).
+    cx = cy = 48  # a chip start (stride 24: starts 0,24,48,...)
+    one = np.asarray(predict(
+        jax.numpy.asarray(tile[None, :, cy:cy + 32, cx:cx + 32])))
+    np.testing.assert_array_equal(
+        pred[cy + 12:cy + 20, cx + 12:cx + 20], one[0, 12:20, 12:20])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        granule_inference(tile, model, variables, mean=[5000.0] * 6,
+                          std=[3000.0] * 6, chip_size=32, overlap=16)
+
+
 def test_granule_nodata_pixels_masked():
     """Pixels with no input data in any band get -1 (seg) in the stitched
     prediction instead of a confident class (review fix)."""
