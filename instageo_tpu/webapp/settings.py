@@ -13,6 +13,12 @@ from pydantic import BaseModel
 class BackendSettings(BaseModel):
     AUTH0_DOMAIN: str = os.environ.get("AUTH0_DOMAIN", "")
     AUTH0_AUDIENCE: str = os.environ.get("AUTH0_AUDIENCE", "")
+    # SPA client id, injected into index.html (reference frontend/.env
+    # REACT_APP_AUTH0_CLIENT_ID consumed by auth0-config.js).
+    AUTH0_CLIENT_ID: str = os.environ.get("AUTH0_CLIENT_ID", "")
+    # Optional absolute API base for the SPA when the API is served from a
+    # different origin than the static files (reference REACT_APP_API_URL).
+    API_BASE_URL: str = os.environ.get("API_BASE_URL", "")
     DATABASE_URL: str = os.environ.get("DATABASE_URL", "data/backend.sqlite")
     TASK_TTL: int = int(os.environ.get("REDIS_TTL", 24 * 3600))
     TASKS_DATA_DIR: str = os.environ.get("TASKS_DATA_DIR", "data/tasks")

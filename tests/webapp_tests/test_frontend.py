@@ -336,3 +336,40 @@ def test_css_classes_used_by_components_exist():
                 "layers-control", "viz-card", "bbox-info", "chip",
                 "progress", "spinner", "gm-map", "gm-corner", "icon-btn"):
         assert f".{cls}" in css, f"missing CSS class .{cls}"
+
+
+def test_server_config_injection(tmp_path, monkeypatch):
+    """The index handler substitutes the deployment's Auth0/API-base
+    settings into index.html (reference bakes REACT_APP_AUTH0_* in at
+    build time via frontend/.env + auth0-config.js)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from instageo_tpu.webapp import settings as settings_mod
+    from instageo_tpu.webapp.main import create_app
+
+    async def fetch():
+        app = create_app(db_path=str(tmp_path / "c.sqlite"))
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.get("/")
+            assert resp.status == 200
+            return await resp.text()
+
+    # Unconfigured: marker replaced with nothing, defaults left in place.
+    html = _run(fetch())
+    assert "__INSTAGEO_SERVER_CONFIG__" not in html
+    assert 'window.INSTAGEO_API_BASE = window.INSTAGEO_API_BASE ?? ""' in html
+
+    monkeypatch.setattr(settings_mod.settings, "AUTH0_DOMAIN", "t.auth0.com")
+    monkeypatch.setattr(settings_mod.settings, "AUTH0_CLIENT_ID", "cid123")
+    monkeypatch.setattr(settings_mod.settings, "AUTH0_AUDIENCE", "https://api")
+    monkeypatch.setattr(settings_mod.settings, "API_BASE_URL",
+                        "https://api.example.com")
+    html = _run(fetch())
+    cfg = json.loads(re.search(
+        r"window\.INSTAGEO_AUTH0 = (\{.*?\});", html).group(1))
+    assert cfg == {"domain": "t.auth0.com", "clientId": "cid123",
+                   "audience": "https://api"}
+    assert 'window.INSTAGEO_API_BASE = "https://api.example.com";' in html
+    # Static serving path still delivers the raw file with the marker.
+    assert "__INSTAGEO_SERVER_CONFIG__" in open(
+        os.path.join(STATIC, "index.html")).read()
