@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Sen1Floods11 replica dataset: S2 chips (512 px, single timestep) cut
+# against the Sen1Floods11 hand-labeled rasters. Mirrors the reference
+# experiment (experiments_dir/data/flood_mapping/sen1floods_replica.sh)
+# on the instageo_tpu CLI; records are CSVs of label rasters
+# (label_filename,date) instead of the reference's gpkg.
+set -euo pipefail
+
+GCS_BUCKET=${GCS_BUCKET:-}
+if [ -z "$GCS_BUCKET" ]; then
+    echo "GCS_BUCKET is not set"
+    exit 1
+fi
+
+mkdir -p data
+gsutil cp -r gs://instageo/data/observation_records/sen1floods/records/* data
+
+for split in val train test; do
+    python -m instageo_tpu.data.raster_chip_creator \
+        --raster_path data/sen1floods11/LabelHand \
+        --records_file "data/sen1floods-${split}-records.csv" \
+        --chip_size=512 \
+        --temporal_step=0 \
+        --num_steps=1 \
+        --temporal_tolerance=2 \
+        --cloud_coverage=100 \
+        --output_directory "data/${split}" \
+        --data_source=S2 \
+        --src_crs=4326 --spatial_resolution=8.983152841195215e-05 \
+        --daytime_only=false --qa_check=false 2>&1 | tee "data/${split}.log"
+done
+
+gsutil -m cp -r data "${GCS_BUCKET}/data/sen1floods_replica"

@@ -68,6 +68,57 @@ def parse_filters(raw: list) -> list:
     return filters
 
 
+def localize_granules(dataset: Dict[str, Any], out_dir: str,
+                      data_source: str) -> Dict[str, Any]:
+    """Fetch granule assets to ``{out_dir}/granules`` and re-point hrefs.
+
+    Implements the reference's ``processing_method='download'`` /
+    ``'download-only'`` semantics (chip_creator.py:62-71): whole granule
+    assets are fetched locally before chipping, instead of streaming
+    range-reads from the remote COGs. Already-downloaded valid files are
+    skipped, so the step is resumable. Returns the dataset with every
+    successfully fetched asset href rewritten to its local file.
+    """
+    from instageo_tpu.data.downloads import parallel_download
+
+    sign = None
+    if data_source in ("S2", "S1"):
+        from instageo_tpu.data.sources.s2 import MPCSigner
+
+        sign = MPCSigner("sentinel-1-rtc" if data_source == "S1"
+                         else "sentinel-2-l2a")
+
+    granules_dir = os.path.join(out_dir, "granules")
+    urls: Dict[str, str] = {}
+    slots: Dict[str, list] = {}  # filename -> [(granule_dict, asset_name)]
+    for entry in dataset.values():
+        for granule in entry.get("granules", []):
+            for name, asset in granule.get("assets", {}).items():
+                href = asset.get("href", "")
+                if not href.startswith(("http://", "https://")):
+                    continue  # already local
+                ext = os.path.splitext(href.split("?", 1)[0])[1] or ".tif"
+                fname = f"{granule['id']}_{name}{ext}"
+                urls[fname] = sign(href) if sign else href
+                slots.setdefault(fname, []).append((granule, name))
+
+    if not urls:
+        return dataset
+    logging.info("Downloading %d granule assets to %s", len(urls),
+                 granules_dir)
+    done = parallel_download(urls, granules_dir,
+                             headers={} if sign else None)
+    for path in done:
+        fname = os.path.basename(path)
+        for granule, name in slots.get(fname, []):
+            granule["assets"][name]["href"] = path
+    missing = len(urls) - len(done)
+    if missing:
+        logging.warning("%d granule assets failed to download; their "
+                        "tiles fall back to remote reads.", missing)
+    return dataset
+
+
 def process_data_source(
     data_source: str,
     sub_data: pd.DataFrame,
@@ -100,6 +151,14 @@ def process_data_source(
         with open(dataset_file) as f:
             dataset = json.load(f)
         filtered_records = pd.read_parquet(records_file)
+
+    if FLAGS.processing_method in ("download", "download-only"):
+        dataset = localize_granules(dataset, out_dir, data_source)
+        if FLAGS.processing_method == "download-only":
+            logging.info("processing_method=download-only: granules saved "
+                         "under %s, skipping chip creation.",
+                         os.path.join(out_dir, "granules"))
+            return
 
     logging.info("Creating Chips and Segmentation Maps")
     pipeline = pipeline_class(

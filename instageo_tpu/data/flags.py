@@ -21,6 +21,12 @@ def define_common_flags() -> None:
                         "Path to the DataFrame CSV/Parquet file.")
     flags.DEFINE_enum("data_format", "csv", ["csv", "parquet"],
                       "Format of the observations file.")
+    flags.DEFINE_enum(
+        "processing_method", "cog", ["cog", "download", "download-only"],
+        "How to obtain granule data (reference chip_creator.py:62-71): "
+        "'cog' streams chips straight from remote COGs; 'download' fetches "
+        "whole granule assets locally first, then chips from the local "
+        "files; 'download-only' fetches the granules and stops.")
     flags.DEFINE_list("filters", [],
                       "Parquet filters as col:op:value triplets.")
     flags.DEFINE_integer("chip_size", 256, "Size of each chip.")

@@ -78,11 +78,11 @@ def hls_world(tmp_path, monkeypatch):
                      "date": "2022-05-25"})
     csv = tmp_path / "obs.csv"
     pd.DataFrame(rows).to_csv(csv, index=False)
-    return tmp_path, csv
+    return tmp_path, csv, item
 
 
 def test_chip_creator_cli_end_to_end(hls_world):
-    tmp_path, csv = hls_world
+    tmp_path, csv, _item = hls_world
     out_dir = tmp_path / "out"
 
     from instageo_tpu.data import chip_creator
@@ -140,3 +140,78 @@ def test_chip_creator_cli_end_to_end(hls_world):
     # Idempotent resume: rerun produces no duplicates and doesn't crash.
     chip_creator.main(None)
     assert len(sorted((out_dir / "chips").glob("chip_*.tif"))) == 2
+
+
+def test_chip_creator_download_mode(hls_world, monkeypatch):
+    """--processing_method=download serves granules over real localhost
+    HTTP, downloads them once, chips from the local copies, and produces
+    byte-identical chips to the streaming 'cog' mode. 'download-only'
+    stops after the fetch."""
+    import functools
+    import http.server
+    import threading
+
+    from instageo_tpu.data import downloads
+
+    tmp_path, csv, item = hls_world
+    # Test fixtures are far smaller than any real granule; relax the
+    # truncated-download size floor so they pass validation.
+    monkeypatch.setattr(downloads, "MIN_VALID_SIZE", 64)
+
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(tmp_path))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        local_assets = dict(item.assets)
+        item.assets = {
+            name: f"http://127.0.0.1:{port}/{os.path.basename(path)}"
+            for name, path in local_assets.items()
+        }
+
+        from instageo_tpu.data import chip_creator
+        common = [
+            "chip_creator",
+            f"--dataframe_path={csv}",
+            "--data_source=HLS",
+            "--chip_size=32",
+            "--min_count=1",
+            "--is_time_series_task=false",
+            "--mask_types=cloud",
+            "--masking_strategy=any",
+            "--window_size=1",
+        ]
+
+        out_dl = tmp_path / "out_dl"
+        chip_creator.FLAGS(common + [f"--output_directory={out_dl}",
+                                     "--processing_method=download-only"])
+        chip_creator.main(None)
+        fetched = sorted((out_dl / "granules").glob("*.tif"))
+        assert len(fetched) == 7  # 6 bands + Fmask
+        assert not (out_dl / "chips").exists()
+        # Cached dataset JSON keeps the REMOTE hrefs (resume contract).
+        ds = json.load(open(out_dl / "hls_dataset.json"))
+        hrefs = [a["href"] for e in ds.values() for g in e["granules"]
+                 for a in g["assets"].values()]
+        assert all(h.startswith("http://127.0.0.1") for h in hrefs)
+
+        chip_creator.FLAGS(common + [f"--output_directory={out_dl}",
+                                     "--processing_method=download"])
+        chip_creator.main(None)
+        chips_dl = sorted((out_dl / "chips").glob("chip_*.tif"))
+        assert len(chips_dl) == 2
+    finally:
+        srv.shutdown()
+
+    # Chips from local downloads == chips streamed from the originals.
+    out_cog = tmp_path / "out_cog"
+    item.assets = local_assets
+    chip_creator.FLAGS(common + [f"--output_directory={out_cog}",
+                                 "--processing_method=cog"])
+    chip_creator.main(None)
+    chips_cog = sorted((out_cog / "chips").glob("chip_*.tif"))
+    for a, b in zip(chips_dl, chips_cog):
+        assert a.name == b.name
+        with GeoTiffReader(str(a)) as ra, GeoTiffReader(str(b)) as rb:
+            assert np.array_equal(ra.read(), rb.read())
