@@ -29,13 +29,20 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> 
 
 
 def mesh_from_config(tpu_cfg: Any) -> Mesh:
-    """Build the mesh from the ``tpu.mesh`` config value (``auto`` or int)."""
+    """Build the mesh from config: ``tpu.mesh`` (``auto`` or int device
+    count) and ``tpu.tp`` (tensor-parallel degree; >1 builds a 2D
+    (data, model) mesh — see ``parallel/tp.py``)."""
     spec = None
+    tp = 1
     if tpu_cfg:
         spec = tpu_cfg.get("mesh", "auto")
-    if spec in (None, "auto"):
-        return make_mesh()
-    return make_mesh(int(spec))
+        tp = int(tpu_cfg.get("tp", 1))
+    num = None if spec in (None, "auto") else int(spec)
+    if tp > 1:
+        from instageo_tpu.parallel.tp import make_mesh_2d
+
+        return make_mesh_2d(tp, num)
+    return make_mesh(num)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

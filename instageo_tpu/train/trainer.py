@@ -126,16 +126,28 @@ class Trainer:
         opt_state = self.tx.init(variables["params"])
         use_zero1 = (bool((cfg.get("tpu") or {}).get("zero1", False))
                      and int(self.mesh.devices.size) > 1)
-        if use_zero1:
-            # ZeRO-1: shard optimizer moments over the data axis
-            # (SURVEY.md §2.5 — the only sharding beyond DP this model
-            # family warrants).
-            opt_state = zero1_place(opt_state, self.mesh)
+        from instageo_tpu.parallel.tp import (has_model_axis,
+                                              place_state_like_params,
+                                              tp_place)
+        if has_model_axis(self.mesh):
+            # Tensor parallelism (tpu.tp>1): transformer matmuls sharded
+            # column/row over the model axis (parallel/tp.py); optimizer
+            # moments mirror the param shardings (+ ZeRO-1 on the rest).
+            params = tp_place(variables["params"], self.mesh)
+            opt_state = place_state_like_params(
+                opt_state, variables["params"], self.mesh, zero1=use_zero1)
         else:
-            opt_state = replicate_tree(opt_state, self.mesh)
+            params = replicate_tree(variables["params"], self.mesh)
+            if use_zero1:
+                # ZeRO-1: shard optimizer moments over the data axis
+                # (SURVEY.md §2.5 — the only sharding beyond DP this model
+                # family warrants).
+                opt_state = zero1_place(opt_state, self.mesh)
+            else:
+                opt_state = replicate_tree(opt_state, self.mesh)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=replicate_tree(variables["params"], self.mesh),
+            params=params,
             batch_stats=replicate_tree(variables.get("batch_stats", {}),
                                        self.mesh),
             opt_state=opt_state,

@@ -80,3 +80,78 @@ def test_multihost_single_process_paths():
     tree = {"cm": jnp.ones((2, 2))}
     out = aggregate_metrics(tree)
     np.testing.assert_array_equal(np.asarray(out["cm"]), np.ones((2, 2)))
+
+
+def test_tp_specs_rules():
+    from instageo_tpu.parallel.tp import make_mesh_2d, tp_place
+
+    mesh = make_mesh_2d(tp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    params = {"blocks_0": {
+        "attn": {"qkv": {"kernel": jnp.zeros((8, 24)),
+                         "bias": jnp.zeros((24,))},
+                 "proj": {"kernel": jnp.zeros((8, 8)),
+                          "bias": jnp.zeros((8,))}},
+        "mlp": {"fc1": {"kernel": jnp.zeros((8, 32)),
+                        "bias": jnp.zeros((32,))},
+                "fc2": {"kernel": jnp.zeros((32, 8)),
+                        "bias": jnp.zeros((8,))}},
+        "norm1": {"scale": jnp.zeros((8,))},
+    }}
+    placed = tp_place(params, mesh)
+    b = placed["blocks_0"]
+    assert b["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
+    assert b["attn"]["qkv"]["bias"].sharding.spec == P("model")
+    assert b["attn"]["proj"]["kernel"].sharding.spec == P("model", None)
+    assert b["attn"]["proj"]["bias"].sharding.spec == P()
+    assert b["mlp"]["fc1"]["kernel"].sharding.spec == P(None, "model")
+    assert b["mlp"]["fc2"]["kernel"].sharding.spec == P("model", None)
+    assert b["norm1"]["scale"].sharding.spec == P()
+
+
+def test_tp_training_matches_dp():
+    """TP(2)xDP(4) training must produce the same numbers as pure DP —
+    the sharding is a layout change, not a numerics change."""
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    overrides = {
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": 8, "train.ignore_index": -1,
+        "tpu.precision": "f32",
+    }
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
+
+    from instageo_tpu.train.trainer import EpochMetrics
+
+    losses = {}
+    for name, extra in [("dp", {}), ("tp", {"tpu.tp": 2, "tpu.zero1": True})]:
+        cfg = load_config("config", overrides={**overrides, **extra})
+        from instageo_tpu.parallel.mesh import mesh_from_config
+
+        model, variables = create_model(cfg)
+        trainer = Trainer(cfg, model, variables,
+                          mesh=mesh_from_config(cfg.get("tpu")))
+        if name == "tp":
+            # TP must actually be active: transformer matmuls sharded.
+            qkv = trainer.state.params["prithvi_encoder"]["blocks_0"]["attn"][
+                "qkv"]["kernel"]
+            assert qkv.sharding.spec == P(None, "model")
+        step_losses = []
+        for step in range(3):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, *trainer._prepare(x, y, 8),
+                jax.random.PRNGKey(step), EpochMetrics.empty(2))
+            step_losses.append(float(metrics.loss_sum))
+        losses[name] = step_losses
+
+    # The loss at step k depends on every prior update: trajectory
+    # equality is the functional-parity check. (Raw params are NOT
+    # compared — Adam turns eps-scale f32 reduction-order differences on
+    # near-zero grads into ±lr update flips.)
+    np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=1e-4)
