@@ -17,7 +17,7 @@ from typing import Any, Dict, Iterable, Optional
 
 import jax
 
-from instageo_tpu.parallel.mesh import make_mesh
+from instageo_tpu.parallel.mesh import mesh_from_config, replicate_tree
 from instageo_tpu.serve.infer import chip_inference as run_chip_inference
 from instageo_tpu.train.factory import create_model
 from instageo_tpu.train.trainer import Trainer
@@ -34,7 +34,17 @@ class ModelServer:
     def __init__(self, cfg: Any) -> None:
         self.cfg = cfg
         self.model, self.variables = create_model(cfg)
-        self.mesh = make_mesh()
+        self.mesh = mesh_from_config(cfg.get("tpu"))
+        from instageo_tpu.parallel.tp import has_model_axis, tp_place
+
+        if has_model_axis(self.mesh):
+            # tpu.tp>1: serve with tensor-parallel weights — lower
+            # latency for the large variants at small serving batches.
+            self.variables = {
+                **{k: replicate_tree(v, self.mesh)
+                   for k, v in self.variables.items() if k != "params"},
+                "params": tp_place(self.variables["params"], self.mesh),
+            }
         self._trainer: Optional[Trainer] = None
         self.start_time = time.time()
         self.requests_served = 0

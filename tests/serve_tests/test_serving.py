@@ -157,3 +157,33 @@ def test_missing_checkpoint_raises_at_lookup(tmp_path, monkeypatch):
     reg = ModelRegistry(models_path=str(tmp_path))
     with pytest.raises(FileNotFoundError, match="flood_mapping"):
         reg.get_checkpoint_path("flood_mapping", "base")
+
+
+def test_tp_serving_matches_replicated(trained_world, tmp_path):
+    """tpu.tp=2 serving produces the same predictions as replicated
+    serving (TP is a layout change, not a numerics change)."""
+    from jax.sharding import PartitionSpec as P
+
+    root, ckpt = trained_world
+
+    outs = {}
+    for name, tp in [("rep", 1), ("tp", 2)]:
+        cfg = _serving_cfg(root, ckpt)
+        if tp > 1:
+            cfg["tpu"]["tp"] = tp
+        pipe = EvaluationPipeline(cfg)
+        out_dir = tmp_path / f"preds_{name}"
+        pipe.chip_inference(str(out_dir))
+        if tp > 1:
+            qkv = pipe.server.variables["params"]["prithvi_encoder"][
+                "blocks_0"]["attn"]["qkv"]["kernel"]
+            assert qkv.sharding.spec == P(None, "model")
+        outs[name] = {
+            p.name: GeoTiffReader(str(p)).read()
+            for p in sorted(out_dir.glob("prediction_*.tif"))
+        }
+        pipe.cleanup()
+
+    assert outs["rep"].keys() == outs["tp"].keys() and len(outs["rep"]) == 4
+    for k in outs["rep"]:
+        np.testing.assert_array_equal(outs["rep"][k], outs["tp"][k])
