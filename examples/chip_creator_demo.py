@@ -61,14 +61,14 @@ def main() -> None:
     out1 = os.path.join(root, "out_basic")
     run_cli([f"--dataframe_path={csv}", f"--output_directory={out1}",
              "--data_source=HLS", "--chip_size=32", "--min_count=1",
-             "--is_time_series_task=false", "--temporal_tolerance=5"])
+             "--shift_to_month_start=false", "--is_time_series_task=false", "--temporal_tolerance=5"])
     summarize(out1)
 
     print("\n== Example 2: cloud masking (mask_types=cloud, strategy=any) ==")
     out2 = os.path.join(root, "out_masked")
     run_cli([f"--dataframe_path={csv}", f"--output_directory={out2}",
              "--data_source=HLS", "--chip_size=32", "--min_count=1",
-             "--is_time_series_task=false", "--mask_types=cloud",
+             "--shift_to_month_start=false", "--is_time_series_task=false", "--mask_types=cloud",
              "--masking_strategy=any", "--temporal_tolerance=5"])
     summarize(out2)
     from instageo_tpu.data.geotiff import GeoTiffReader
@@ -83,7 +83,7 @@ def main() -> None:
     out3 = os.path.join(root, "out_buffered")
     run_cli([f"--dataframe_path={csv}", f"--output_directory={out3}",
              "--data_source=HLS", "--chip_size=32", "--min_count=1",
-             "--is_time_series_task=false", "--window_size=2",
+             "--shift_to_month_start=false", "--is_time_series_task=false", "--window_size=2",
              "--temporal_tolerance=5"])
     with GeoTiffReader(sorted(
             _g.glob(os.path.join(out3, "seg_maps", "*_0_0.tif")))[0]) as r:
@@ -97,7 +97,7 @@ def main() -> None:
     out4 = os.path.join(root, "out_regression")
     run_cli([f"--dataframe_path={csv_reg}", f"--output_directory={out4}",
              "--data_source=HLS", "--chip_size=32", "--min_count=1",
-             "--is_time_series_task=false", "--task_type=reg",
+             "--shift_to_month_start=false", "--is_time_series_task=false", "--task_type=reg",
              "--temporal_tolerance=5"])
     with GeoTiffReader(sorted(
             _g.glob(os.path.join(out4, "seg_maps", "*.tif")))[0]) as r:

@@ -57,7 +57,7 @@ def main() -> None:
     chip_creator.FLAGS([
         "chip_creator", f"--dataframe_path={obs_csv}",
         f"--output_directory={out}", "--data_source=HLS", "--chip_size=32",
-        "--min_count=1", "--is_time_series_task=false",
+        "--min_count=1", "--shift_to_month_start=false", "--is_time_series_task=false",
         "--temporal_tolerance=5"])
     chip_creator.main(None)
 

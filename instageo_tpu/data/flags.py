@@ -38,7 +38,7 @@ def define_common_flags() -> None:
                          "EPSG code of the points' source CRS.")
     flags.DEFINE_float("spatial_resolution", 0.0002694945852358564,
                        "Spatial resolution of the chip grid (CRS units/pixel).")
-    flags.DEFINE_bool("shift_to_month_start", False,
+    flags.DEFINE_bool("shift_to_month_start", True,
                       "Shift observation dates to the month start.")
     flags.DEFINE_bool("is_time_series_task", True,
                       "Whether multiple timesteps are fetched per observation.")

@@ -93,6 +93,7 @@ def test_chip_creator_cli_end_to_end(hls_world):
         "--data_source=HLS",
         "--chip_size=32",
         "--min_count=1",
+        "--shift_to_month_start=false",
         "--is_time_series_task=false",
         "--mask_types=cloud",
         "--masking_strategy=any",
@@ -177,6 +178,7 @@ def test_chip_creator_download_mode(hls_world, monkeypatch):
             "--data_source=HLS",
             "--chip_size=32",
             "--min_count=1",
+            "--shift_to_month_start=false",
             "--is_time_series_task=false",
             "--mask_types=cloud",
             "--masking_strategy=any",

@@ -187,6 +187,7 @@ def test_pipeline_matches_oracle_bit_for_bit(world):
         "--data_source=HLS",
         "--chip_size=32",
         "--min_count=1",
+        "--shift_to_month_start=false",
         "--is_time_series_task=false",
         "--mask_types=cloud",
         "--masking_strategy=any",
@@ -240,6 +241,7 @@ def test_pipeline_matches_oracle_each_strategy(world):
         "--data_source=HLS",
         "--chip_size=32",
         "--min_count=1",
+        "--shift_to_month_start=false",
         "--is_time_series_task=false",
         "--mask_types=cloud,cloud_shadow",
         "--masking_strategy=each",
