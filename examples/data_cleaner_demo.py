@@ -86,7 +86,7 @@ def main() -> None:
     run_cleaner([f"--chips_dataset_csv={csv}",
                  f"--output_chips_dataset_csv={out_csv1}",
                  "--drop_chips=true", "--drop_chips_strategy=any",
-                 "--no_data_threshold=0.5", "--cleaner_no_data_value=0"])
+                 "--no_data_threshold=0.5", "--no_data_value=0"])
     kept = pd.read_csv(out_csv1)
     print(f"  kept {len(kept)}/{len(manifest)} chips "
           f"(dropped the mostly-empty one)\n")
@@ -97,7 +97,7 @@ def main() -> None:
     run_cleaner([f"--chips_dataset_csv={out_csv1}",
                  f"--output_chips_dataset_csv={out_csv2}",
                  "--clean_seg_maps=true", "--cleaning_method=buffer",
-                 "--cleaner_window_size=2", "--cleaner_no_data_value=0",
+                 "--window_size=2", "--no_data_value=0",
                  f"--seg_map_output_dir={os.path.join(root, 'seg_buffered')}"])
     buffered = pd.read_csv(out_csv2)
     after = labeled_px(buffered["Label"][0])

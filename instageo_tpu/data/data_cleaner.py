@@ -33,19 +33,38 @@ if "chips_dataset_csv" not in FLAGS:
                       "'any': drop if any band exceeds; 'all': all bands.")
     flags.DEFINE_float("no_data_threshold", 0.5,
                        "No-data pixel ratio above which a chip is dropped.")
-    flags.DEFINE_integer("cleaner_no_data_value", -9999,
-                         "No-data value in chips.")
     flags.DEFINE_bool("clean_seg_maps", False, "Clean segmentation maps.")
     flags.DEFINE_enum("cleaning_method", "buffer", ["buffer", "limit"],
                       "buffer: dilate observation px; limit: keep only obs px.")
     flags.DEFINE_string("observation_points_csv", None,
                         "Points CSV (x, y, date[, mgrs_tile_id]) for 'limit'.")
-    flags.DEFINE_integer("cleaner_ignore_index", -1,
-                         "Ignore value written for non-observation pixels.")
-    flags.DEFINE_integer("cleaner_window_size", 1,
-                         "Half-size of the dilation window for 'buffer'.")
     flags.DEFINE_string("seg_map_output_dir", None,
                         "Directory for cleaned seg maps (default: in place).")
+
+# Reference flag names (data_cleaner.py:67-111): no_data_value,
+# ignore_index, window_size. The chip-creator CLIs' shared registry
+# (data/flags.py) also defines ``window_size`` (default 0); the absl
+# registry is process-global, so register our own only when free and
+# otherwise share theirs, falling back to the cleaner default of 1 when
+# the flag was not passed explicitly.
+for _name, _default, _help in [
+    ("no_data_value", -9999, "No-data value in chips."),
+    ("ignore_index", -1, "Ignore value written for non-observation pixels."),
+    ("window_size", 1, "Half-size of the dilation window for 'buffer'."),
+]:
+    if _name not in FLAGS:
+        flags.DEFINE_integer(_name, _default, _help)
+
+_CLEANER_WINDOW_DEFAULT = 1
+
+
+def _window_size() -> int:
+    """window_size, defaulting to 1 when shared with the chip-creator
+    registry (whose default is 0) and not passed on the command line."""
+    fl = FLAGS["window_size"]
+    if fl.present or fl.default == _CLEANER_WINDOW_DEFAULT:
+        return int(FLAGS.window_size)
+    return _CLEANER_WINDOW_DEFAULT
 
 
 def should_drop_chip(chip_fname: str, no_data_threshold: float,
@@ -201,12 +220,12 @@ def main(argv: Any) -> None:
         drop_chips=FLAGS.drop_chips,
         drop_chips_strategy=FLAGS.drop_chips_strategy,
         no_data_threshold=FLAGS.no_data_threshold,
-        no_data_value=FLAGS.cleaner_no_data_value,
+        no_data_value=FLAGS.no_data_value,
         clean_seg_maps=FLAGS.clean_seg_maps,
         observation_points_csv=FLAGS.observation_points_csv,
         cleaning_method=FLAGS.cleaning_method,
-        ignore_index=FLAGS.cleaner_ignore_index,
-        window_size=FLAGS.cleaner_window_size,
+        ignore_index=FLAGS.ignore_index,
+        window_size=_window_size(),
         seg_map_output_dir=FLAGS.seg_map_output_dir,
     )
 

@@ -28,8 +28,8 @@ FLAGS = flags.FLAGS
 
 if "input_file" not in FLAGS:
     flags.DEFINE_integer("random_state", 42, "Random seed", lower_bound=0)
-    flags.DEFINE_float("val_ratio", 0.15, "Validation fraction")
-    flags.DEFINE_float("test_ratio", 0.15, "Test fraction")
+    flags.DEFINE_float("val_ratio", 0.20, "Validation fraction")
+    flags.DEFINE_float("test_ratio", 0.20, "Test fraction")
     flags.DEFINE_boolean("visualize", True, "Generate split visualizations")
     flags.DEFINE_boolean("include_val", True, "Include a validation split")
     flags.DEFINE_boolean("include_test", True, "Include a test split")
