@@ -88,9 +88,17 @@ class S1APISettings(BaseModel):
 
 
 class DataPipelineSettings(BaseModel):
-    BATCH_SIZE: int = int(_env("INSTAGEO_BATCH_SIZE", 16, int))
-    METADATA_SEARCH_RATELIMIT: int = int(_env("INSTAGEO_SEARCH_RATELIMIT", 10, int))
-    COG_DOWNLOAD_RATELIMIT: int = int(_env("INSTAGEO_COG_RATELIMIT", 30, int))
+    # The reference's experiment scripts export the class-prefixed
+    # spelling (DATAPIPELINESETTINGS_BATCH_SIZE — us_cdl_instageo.sh);
+    # honor it first, then the INSTAGEO_* spelling.
+    BATCH_SIZE: int = int(_env("DATAPIPELINESETTINGS_BATCH_SIZE",
+                               _env("INSTAGEO_BATCH_SIZE", 16, int), int))
+    METADATA_SEARCH_RATELIMIT: int = int(
+        _env("DATAPIPELINESETTINGS_METADATA_SEARCH_RATELIMIT",
+             _env("INSTAGEO_SEARCH_RATELIMIT", 10, int), int))
+    COG_DOWNLOAD_RATELIMIT: int = int(
+        _env("DATAPIPELINESETTINGS_COG_DOWNLOAD_RATELIMIT",
+             _env("INSTAGEO_COG_RATELIMIT", 30, int), int))
 
 
 GDAL_OPTIONS = GDALOptions()
