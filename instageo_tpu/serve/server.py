@@ -74,6 +74,23 @@ class ModelServer:
         return {"num_chips": n, "inference_time": dt,
                 "chips_per_sec": n / dt if dt else 0.0}
 
+    def online_batcher(self, max_batch: int = 64, max_wait_ms: float = 5.0):
+        """Lazy dynamic micro-batcher for online (per-request) inference.
+
+        Beyond the reference's surface: concurrent single-chip requests
+        coalesce into bucketed device calls (``serve/batching.py``).
+        """
+        if getattr(self, "_batcher", None) is None:
+            from instageo_tpu.serve.batching import DynamicBatcher
+            from instageo_tpu.serve.infer import make_predict_fn
+
+            self._batcher = DynamicBatcher(
+                make_predict_fn(self.model, self.variables,
+                                is_reg_task=bool(
+                                    self.cfg.get("is_reg_task", False))),
+                max_batch=max_batch, max_wait_ms=max_wait_ms)
+        return self._batcher
+
     def health_check(self) -> Dict[str, Any]:
         """Reference model_server.py:129-141."""
         return {
