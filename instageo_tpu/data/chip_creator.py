@@ -168,7 +168,7 @@ def process_data_source(
         masking_strategy=FLAGS.masking_strategy,
         src_crs=FLAGS.src_crs,
         spatial_resolution=FLAGS.spatial_resolution,
-        window_size=FLAGS.window_size,
+        window_size=_flags.chip_window_size(),
         task_type=FLAGS.task_type,
     )
     obsv_records = {

@@ -147,7 +147,7 @@ def main(argv: Any) -> None:
         masking_strategy=FLAGS.masking_strategy,
         src_crs=FLAGS.src_crs,
         spatial_resolution=FLAGS.spatial_resolution,
-        window_size=FLAGS.window_size,
+        window_size=_flags.chip_window_size(),
         task_type=FLAGS.task_type,
         raster_path=FLAGS.raster_path,
         qa_check=FLAGS.qa_check,
