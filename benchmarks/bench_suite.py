@@ -161,12 +161,59 @@ def bench_native_decode(quick: bool) -> None:
          "chips/sec (6-band 224^2 deflate)")
 
 
+def bench_granule(quick: bool) -> None:
+    """Granule-scale streaming inference: whole tile -> stitched pred.
+
+    The serving-scale metric: an HLS granule (3660² on TPU; scaled down
+    on CPU) streamed through device-side chip extraction + fused
+    preprocess + forward + on-device stitch (serve/granule.py), no chip
+    files. Reported as effective chips/s over the grid the tile induces.
+    """
+    import jax
+
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.serve.granule import granule_inference
+    from instageo_tpu.train.factory import create_model
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tile_hw = (1830 if quick else 3660) if on_tpu else 96
+    chip = 224 if on_tpu else 32
+    name = "prithvi_eo_v1_100" if on_tpu else "prithvi_eo_tiny"
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": chip,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": name,
+        "model.load_pretrained_weights": False,
+    })
+    model, variables = create_model(cfg)
+    rng = np.random.default_rng(0)
+    tile = rng.integers(1, 10000, size=(6, tile_hw, tile_hw)).astype(np.uint16)
+
+    # Warm (compile), then measure.
+    granule_inference(tile, model, variables, mean=[5000.0] * 6,
+                      std=[3000.0] * 6, chip_size=chip,
+                      batch_size=32 if on_tpu else 4)
+    t0 = time.perf_counter()
+    pred, _ = granule_inference(tile, model, variables, mean=[5000.0] * 6,
+                                std=[3000.0] * 6, chip_size=chip,
+                                batch_size=32 if on_tpu else 4)
+    dt = time.perf_counter() - t0
+    import math
+
+    n_chips = math.ceil(tile_hw / chip) ** 2
+    assert pred.shape == (tile_hw, tile_hw)
+    emit("granule_stream_throughput", n_chips / dt,
+         f"chips/sec ({name}, {tile_hw}^2 tile -> stitched pred, "
+         f"chip={chip})", tile_s=round(dt, 2))
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     bench_native_decode(quick)
     bench_chip_ops(quick)
     bench_attention(quick)
     bench_train_step(quick)
+    bench_granule(quick)
 
 
 if __name__ == "__main__":
