@@ -39,12 +39,15 @@ import numpy as np
 
 
 def main(out_dir: str) -> None:
+    import json
+
     from instageo_tpu.configs.config import load_config
     from instageo_tpu.parallel.mesh import mesh_from_config
     from instageo_tpu.train.factory import create_model
     from instageo_tpu.train.trainer import Trainer
 
     os.makedirs(out_dir, exist_ok=True)
+    results = {}
     n = jax.device_count()
     print(f"devices: {n} x {jax.devices()[0].platform}")
 
@@ -78,8 +81,18 @@ def main(out_dir: str) -> None:
         print(f"[{title}] mesh={dict(zip(mesh.axis_names, mesh.devices.shape))} "
               f"loss={metrics['train_loss']:.4f} "
               f"qkv sharding={qkv.sharding.spec}")
+        results[title] = {
+            "mesh": dict(zip(mesh.axis_names,
+                             (int(d) for d in mesh.devices.shape))),
+            "train_loss": float(metrics["train_loss"]),
+            "qkv_sharding": str(qkv.sharding.spec),
+        }
+
+    with open(os.path.join(out_dir, "multichip_results.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
     print("multichip walkthrough OK")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/instageo_multichip")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(args[0] if args else "/tmp/instageo_multichip")

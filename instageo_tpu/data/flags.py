@@ -33,7 +33,13 @@ def _define(define_fn, name: str, *args, **kwargs) -> None:
 def chip_window_size() -> int:
     """``window_size`` with the chip-creator default (0) applied when the
     flag belongs to the data-cleaner registry (default 1) and was not
-    passed on the command line."""
+    passed on the command line.
+
+    In-process multi-CLI flows must call ``FLAGS.unparse_flags()``
+    between CLIs (as the demos, tests, and webapp workers do) — absl's
+    parsed values and ``present`` bits otherwise persist, leaking one
+    CLI's explicit ``--window_size`` into the other's different
+    parameter (true of every shared flag, e.g. ``output_directory``)."""
     fl = FLAGS["window_size"]
     if fl.present or fl.default == CHIP_WINDOW_DEFAULT:
         return int(FLAGS.window_size)

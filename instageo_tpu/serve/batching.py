@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Any, Callable, List, Optional, Sequence
 
@@ -73,6 +74,10 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(x), fut))
+        # close() may have drained between the check and the put — sweep
+        # again so this request cannot be stranded unresolved.
+        if self._closed.is_set():
+            self._fail_pending()
         return fut
 
     def predict(self, x: np.ndarray) -> Any:
@@ -82,7 +87,10 @@ class DynamicBatcher:
     def close(self, timeout: float = 5.0) -> None:
         self._closed.set()
         self._worker.join(timeout)
-        # Fail anything still queued so callers don't hang.
+        self._fail_pending()
+
+    def _fail_pending(self) -> None:
+        """Fail anything still queued so callers don't hang."""
         while True:
             try:
                 _, fut = self._q.get_nowait()
@@ -107,9 +115,9 @@ class DynamicBatcher:
         except queue.Empty:
             return []
         batch = [first]
-        deadline = _monotonic() + self.max_wait_s
+        deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
-            remaining = deadline - _monotonic()
+            remaining = deadline - time.monotonic()
             if remaining <= 0:
                 # One free non-blocking sweep: take whatever is already
                 # queued (arrived while the previous batch computed).
@@ -133,12 +141,16 @@ class DynamicBatcher:
             xs = [x for x, _ in batch]
             futs = [f for _, f in batch]
             n = len(xs)
-            b = self._bucket(n)
-            stacked = np.stack(xs)
-            if b > n:
-                pad = np.zeros((b - n,) + stacked.shape[1:], stacked.dtype)
-                stacked = np.concatenate([stacked, pad])
             try:
+                # Stacking/padding stays inside the guard: ONE
+                # shape-mismatched request must fail its batch, not kill
+                # the worker thread and strand every later caller.
+                b = self._bucket(n)
+                stacked = np.stack(xs)
+                if b > n:
+                    pad = np.zeros((b - n,) + stacked.shape[1:],
+                                   stacked.dtype)
+                    stacked = np.concatenate([stacked, pad])
                 preds = np.asarray(self.predict_fn(stacked))
             except Exception as e:  # propagate to every waiter
                 for f in futs:
@@ -150,9 +162,3 @@ class DynamicBatcher:
             for i, f in enumerate(futs):
                 if not f.done():
                     f.set_result(preds[i])
-
-
-def _monotonic() -> float:
-    import time
-
-    return time.monotonic()

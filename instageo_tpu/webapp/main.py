@@ -336,26 +336,29 @@ def create_app(db_path: str = None, start_workers: bool = False) -> web.Applicat
     # Single-page frontend (replaces the reference's React SPA surface).
     static_dir = os.path.join(os.path.dirname(__file__), "static")
 
+    # Inject deployment config (Auth0 tenant, API base) into the SPA —
+    # the reference bakes these in at build time via frontend/.env
+    # (REACT_APP_AUTH0_* read by auth0-config.js); here the server
+    # substitutes them at serve time so one artifact fits every deploy.
+    # Rendered ONCE at app creation (settings are fixed per process);
+    # the handler serves the cached string off the event loop's hot path.
+    with open(os.path.join(static_dir, "index.html")) as fh:
+        _index_html = fh.read()
+    _cfg_lines = []
+    if settings.AUTH0_DOMAIN and settings.AUTH0_CLIENT_ID:
+        _cfg_lines.append("window.INSTAGEO_AUTH0 = " + json.dumps({
+            "domain": settings.AUTH0_DOMAIN,
+            "clientId": settings.AUTH0_CLIENT_ID,
+            "audience": settings.AUTH0_AUDIENCE,
+        }) + ";")
+    if settings.API_BASE_URL:
+        _cfg_lines.append("window.INSTAGEO_API_BASE = "
+                          + json.dumps(settings.API_BASE_URL) + ";")
+    _index_html = _index_html.replace("/*__INSTAGEO_SERVER_CONFIG__*/",
+                                      "\n  ".join(_cfg_lines))
+
     async def index(_request: web.Request) -> web.Response:
-        # Inject deployment config (Auth0 tenant, API base) into the SPA —
-        # the reference bakes these in at build time via frontend/.env
-        # (REACT_APP_AUTH0_* read by auth0-config.js); here the server
-        # substitutes them at serve time so one artifact fits every deploy.
-        with open(os.path.join(static_dir, "index.html")) as fh:
-            html = fh.read()
-        lines = []
-        if settings.AUTH0_DOMAIN and settings.AUTH0_CLIENT_ID:
-            lines.append("window.INSTAGEO_AUTH0 = " + json.dumps({
-                "domain": settings.AUTH0_DOMAIN,
-                "clientId": settings.AUTH0_CLIENT_ID,
-                "audience": settings.AUTH0_AUDIENCE,
-            }) + ";")
-        if settings.API_BASE_URL:
-            lines.append("window.INSTAGEO_API_BASE = "
-                         + json.dumps(settings.API_BASE_URL) + ";")
-        html = html.replace("/*__INSTAGEO_SERVER_CONFIG__*/",
-                            "\n  ".join(lines))
-        return web.Response(text=html, content_type="text/html")
+        return web.Response(text=_index_html, content_type="text/html")
 
     async def dashboard(_request: web.Request) -> web.Response:
         # Queue dashboard (reference runs rq-dashboard on :9181; prod

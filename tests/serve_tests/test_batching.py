@@ -111,3 +111,24 @@ def test_model_server_online_inference(tmp_path):
     for i in range(5):
         np.testing.assert_array_equal(online[i], direct[i])
     batcher.close()
+
+
+def test_shape_mismatch_fails_batch_not_worker():
+    """A shape-mismatched request fails its own batch; the worker
+    survives and keeps serving later requests."""
+    def predict(x):
+        return x.sum(axis=1)
+
+    b = DynamicBatcher(predict, max_batch=8, max_wait_ms=20)
+    bad = [b.submit(np.ones((2,))), b.submit(np.ones((3,)))]
+    got_exc = 0
+    for f in bad:
+        try:
+            f.result(timeout=10)
+        except ValueError:
+            got_exc += 1
+    assert got_exc >= 1  # the coalesced batch failed cleanly
+    # Worker still alive and serving.
+    ok = b.submit(np.ones((4,)))
+    assert ok.result(timeout=10) == pytest.approx(4.0)
+    b.close()
