@@ -275,7 +275,16 @@ def process_and_augment(
     rng = rng or np.random.default_rng()
     ims = np.asarray(x)
     label = None if y is None else np.asarray(y, np.float32).squeeze()
-    if crop:
+    if crop == "center":
+        # Deterministic center crop — the inference path (chips larger
+        # than im_size must crop the SAME window every run, and the
+        # window the prediction writer anchors its georeferencing to).
+        h, w = ims.shape[-2:]
+        top, left = (h - im_size) // 2, (w - im_size) // 2
+        ims = ims[..., top:top + im_size, left:left + im_size]
+        if label is not None:
+            label = label[..., top:top + im_size, left:left + im_size]
+    elif crop:
         ims, label = random_crop(ims, label, im_size, rng)
     ims, label = random_augs(
         ims, label, rng, augmentations,

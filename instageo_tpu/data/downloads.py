@@ -174,9 +174,18 @@ def parallel_downloads_s2(product_ids: Sequence[str], outdir: str,
                           workers: int = 4) -> List[str]:
     """Concurrent CDSE product downloads with per-worker auth state
     (reference s2_utils.py:320-357)."""
+    import threading
+
+    # ONE auth state per worker thread (token minted once and refreshed
+    # on expiry) — a fresh S2AuthState per product would hit the CDSE
+    # token endpoint once per download.
+    local = threading.local()
+
     def one(pid: str) -> Optional[str]:
+        if not hasattr(local, "auth"):
+            local.auth = S2AuthState()
         try:
-            return download_tile_data(pid, outdir, S2AuthState())
+            return download_tile_data(pid, outdir, local.auth)
         except Exception as e:
             log.error("S2 download failed %s: %s", pid, e)
             return None

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from instageo_tpu.data.geotiff import GeoTiffReader, write_geotiff
+from instageo_tpu.data.geotiff import Affine, GeoTiffReader, write_geotiff
 
 log = logging.getLogger(__name__)
 
@@ -38,9 +38,20 @@ def save_prediction(
     with GeoTiffReader(source_chip_path) as src:
         transform = src.transform
         crs = src.crs
+        src_hw = (src.height, src.width)
     name = os.path.basename(source_chip_path).replace("chip", "prediction")
     out_path = os.path.join(out_dir, name)
     arr = prediction.astype(np.float32 if is_reg_task else np.int8)
+    if arr.shape != src_hw:
+        # The model predicted a CENTER CROP of the chip (img_size <
+        # chip_size — preprocess center-crops); anchor the raster at the
+        # crop's origin, not the chip's, or every prediction lands
+        # shifted by the crop margin.
+        row_off = (src_hw[0] - arr.shape[0]) // 2
+        col_off = (src_hw[1] - arr.shape[1]) // 2
+        x0, y0 = transform * (col_off, row_off)
+        transform = Affine(transform.a, transform.b, x0,
+                           transform.d, transform.e, y0)
     write_geotiff(out_path, arr[None], transform=transform, crs=crs)
     return out_path
 

@@ -70,6 +70,10 @@ class EvaluationPipeline:
             std=list(cfg.dataloader.std),
             temporal_size=int(cfg.dataloader.get("temporal_dim", 1)),
             im_size=int(cfg.dataloader.get("img_size", 224)),
+            # Inference must be deterministic: chips larger than img_size
+            # take the SAME center window every run (and save_prediction
+            # re-anchors the output raster to that window).
+            crop="center",
             augmentations=None,
         )
         ds = InstaGeoDataset(

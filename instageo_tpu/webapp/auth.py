@@ -36,6 +36,20 @@ def _b64url_decode(s: str) -> bytes:
     return base64.urlsafe_b64decode(s)
 
 
+_JWKS_REFETCH_COOLDOWN_S = 30.0
+_last_jwks_refetch = [0.0]
+
+
+def _jwks_refetch_allowed() -> bool:
+    import time as _time
+
+    now = _time.monotonic()
+    if now - _last_jwks_refetch[0] >= _JWKS_REFETCH_COOLDOWN_S:
+        _last_jwks_refetch[0] = now
+        return True
+    return False
+
+
 @lru_cache(maxsize=4)
 def get_jwks(domain: str) -> Dict[str, Any]:
     """Fetch + cache the tenant's JWKS (reference auth.py:19-34)."""
@@ -66,9 +80,22 @@ def verify_jwt(token: str, domain: Optional[str] = None,
     if header.get("alg") != "RS256":
         raise AuthError(f"Unsupported algorithm {header.get('alg')}")
 
-    jwks = get_jwks(domain)
-    key_spec = next((k for k in jwks.get("keys", [])
+    def _find_key():
+        jwks = get_jwks(domain)
+        return next((k for k in jwks.get("keys", [])
                      if k.get("kid") == header.get("kid")), None)
+
+    key_spec = _find_key()
+    if key_spec is None and _jwks_refetch_allowed():
+        # Unknown kid usually means the tenant rotated its signing keys
+        # since the JWKS was cached — bust the cache and refetch ONCE
+        # before rejecting, or rotation locks every user out until a
+        # process restart. (Cooldown-limited so forged kids can't turn
+        # this into a JWKS-fetch amplifier; hasattr guards tests that
+        # monkeypatch get_jwks with a plain lambda.)
+        if hasattr(get_jwks, "cache_clear"):
+            get_jwks.cache_clear()
+        key_spec = _find_key()
     if key_spec is None:
         raise AuthError("Signing key not found")
     public_key = _rsa_key_from_jwk(key_spec)

@@ -112,6 +112,12 @@ class _PgRow(dict):
             return self._values[key]
         return dict.__getitem__(self, key)
 
+    def __iter__(self):
+        # sqlite3.Row iterates VALUES; dict iterates keys — tuple
+        # unpacking like ``(n,) = row`` must yield values, not column
+        # names.
+        return iter(self._values)
+
 
 class _PgCursorResult:
     def __init__(self, cursor):
@@ -232,7 +238,8 @@ def save_task(task: Dict[str, Any], db_path: Optional[str] = None) -> None:
             json.dumps(task.get("stages")), task.get("model_key"),
             task.get("model_size"), task.get("error"),
             task.get("created_at", now), now,
-            task.get("created_at", now) + settings.TASK_TTL,
+            task.get("expires_at",
+                     task.get("created_at", now) + settings.TASK_TTL),
         ))
     conn.commit()
 

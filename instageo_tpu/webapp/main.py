@@ -13,6 +13,8 @@ in-process unless INSTAGEO_NO_WORKERS=1).
 
 from __future__ import annotations
 
+import asyncio
+import functools
 import json
 import logging
 import os
@@ -84,8 +86,19 @@ async def run_model(request: web.Request) -> web.Response:
 
     registry: ModelRegistry = request.app["registry"]
     try:
-        meta = registry.get_model_metadata_for_size(
-            model_key, body.get("model_size"))
+        # Reject unknown sizes up front (422) — otherwise the task is
+        # accepted and only fails in stage 2 when the checkpoint path
+        # models/{key}/{size} turns out not to exist.
+        req_size = body.get("model_size")
+        if req_size:
+            sizes = (registry.get_model_metadata(model_key) or {}
+                     ).get("sizes") or {}
+            if sizes and req_size not in sizes:
+                return web.json_response(
+                    {"detail": f"Unknown model_size {req_size!r} for "
+                               f"{model_key}; available: {sorted(sizes)}"},
+                    status=422)
+        meta = registry.get_model_metadata_for_size(model_key, req_size)
     except KeyError:
         return web.json_response({"detail": f"Unknown model {model_key}"},
                                  status=404)
@@ -203,10 +216,35 @@ async def health(request: web.Request) -> web.Response:
     return web.json_response(checks, status=status)
 
 
+def _task_access(request: web.Request, task_id: str):
+    """(task, error_response): 404 unknown, 403 not the owner.
+
+    The reference guards task-scoped routes with its ``is_task_owner``
+    decorator (auth.py:76-101); tile/visualize routes are task-scoped
+    too — without this, any authenticated user holding a task id could
+    read another user's imagery and statistics.
+    """
+    task = Task.load(task_id, request.app["db_path"])
+    if settings.AUTH_DISABLED:
+        # Dev/test mode: no ownership to enforce; handlers decide what a
+        # missing task row means for them (tiles fall back to file
+        # existence).
+        return task, None
+    if task is None:
+        return None, web.json_response({"detail": "Task not found"},
+                                       status=404)
+    user = request.get("user", {})
+    if not is_task_owner(task.to_dict(), user):
+        return None, web.json_response({"detail": "Forbidden"}, status=403)
+    return task, None
+
+
 async def visualize(request: web.Request) -> web.Response:
     """GET /api/visualize/{task_id} (reference tiler_service.py:45-92)."""
     task_id = request.match_info["task_id"]
-    task = Task.load(task_id, request.app["db_path"])
+    task, err = _task_access(request, task_id)
+    if err is not None:
+        return err
     if task is None:
         return web.json_response({"detail": "Task not found"}, status=404)
     if task.status != TaskStatus.COMPLETED:
@@ -250,10 +288,22 @@ def _render_params(request: web.Request, layer: str) -> Dict[str, Any]:
 
 async def tile_png(request: web.Request) -> web.Response:
     m = request.match_info
+    _, err = _task_access(request, m["task_id"])
+    if err is not None:
+        return err
+    try:
+        z, x, y = int(m["z"]), int(m["x"]), int(m["y"])
+    except ValueError:
+        return web.json_response({"detail": "Bad tile coordinates"},
+                                 status=422)
     try:
         tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
-        png = tiler.render_tile(int(m["z"]), int(m["x"]), int(m["y"]),
-                                **_render_params(request, m["layer"]))
+        # Raster decode + PNG encode off the event loop: a first render
+        # at deep zoom decodes a whole overview level — synchronous here
+        # would freeze every other request for seconds.
+        png = await asyncio.get_running_loop().run_in_executor(
+            None, functools.partial(tiler.render_tile, z, x, y,
+                                    **_render_params(request, m["layer"])))
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     return web.Response(body=png, content_type="image/png")
@@ -261,6 +311,9 @@ async def tile_png(request: web.Request) -> web.Response:
 
 async def tilejson(request: web.Request) -> web.Response:
     m = request.match_info
+    _, err = _task_access(request, m["task_id"])
+    if err is not None:
+        return err
     try:
         tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
     except FileNotFoundError as e:
@@ -272,9 +325,15 @@ async def tilejson(request: web.Request) -> web.Response:
 
 async def preview_png(request: web.Request) -> web.Response:
     m = request.match_info
+    _, err = _task_access(request, m["task_id"])
+    if err is not None:
+        return err
     try:
         tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
-        png = tiler.preview(**_render_params(request, m["layer"]))
+        png = await asyncio.get_running_loop().run_in_executor(
+            None,
+            functools.partial(tiler.preview,
+                              **_render_params(request, m["layer"])))
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     return web.Response(body=png, content_type="image/png")
@@ -282,6 +341,9 @@ async def preview_png(request: web.Request) -> web.Response:
 
 async def statistics(request: web.Request) -> web.Response:
     m = request.match_info
+    _, err = _task_access(request, m["task_id"])
+    if err is not None:
+        return err
     try:
         tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
     except FileNotFoundError as e:

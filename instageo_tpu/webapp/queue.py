@@ -177,7 +177,34 @@ def reap_timeouts(db_path: Optional[str] = None) -> int:
             reaped += 1
             _fail_task_for(dict(row), f"stage timed out after "
                            f"{row['timeout_s']}s", db_path)
+    reaped += reap_expired_tasks(db_path)
     return reaped
+
+
+def reap_expired_tasks(db_path: Optional[str] = None) -> int:
+    """Purge expired NON-terminal tasks (the reference's Redis TTL).
+
+    The reference stores in-progress task/stage hashes in Redis with a
+    24 h TTL (redis_client.py, settings.REDIS_TTL) — abandoned tasks
+    evaporate; completed/failed tasks persist to the database forever.
+    Here everything lives in one DB, so the reaper enforces the same
+    contract: terminal tasks are kept, expired in-flight ones (and their
+    queued jobs) are deleted. Task data directories are left on disk,
+    as in the reference.
+    """
+    conn = db.get_conn(db_path)
+    now = time.time()
+    rows = conn.execute(
+        "SELECT task_id FROM tasks WHERE expires_at IS NOT NULL "
+        "AND expires_at < ? AND status NOT IN (?, ?)",
+        (now, "completed", "failed")).fetchall()
+    for row in rows:
+        task_id = row["task_id"]
+        conn.execute("DELETE FROM jobs WHERE task_id=?", (task_id,))
+        conn.execute("DELETE FROM tasks WHERE task_id=?", (task_id,))
+        conn.commit()
+        log.info("Expired in-flight task %s purged (TTL)", task_id)
+    return len(rows)
 
 
 def work_once(queue: str, db_path: Optional[str] = None,
@@ -235,7 +262,15 @@ def worker_loop(queue: str, db_path: Optional[str] = None,
             except Exception as e:  # reaping must never kill the worker
                 log.warning("timeout reap failed: %s", e)
             last_reap = time.monotonic()
-        if not work_once(queue, db_path, isolate=True):
+        try:
+            worked = work_once(queue, db_path, isolate=True)
+        except Exception as e:
+            # A transient failure (sqlite 'database is locked' beyond the
+            # busy timeout, etc.) must not kill the queue's only worker —
+            # nothing restarts it and the queue would wedge forever.
+            log.exception("work_once failed on %s: %s", queue, e)
+            worked = False
+        if not worked:
             time.sleep(poll_interval)
 
 

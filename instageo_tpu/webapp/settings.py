@@ -37,9 +37,12 @@ class BackendSettings(BaseModel):
 
     def __init__(self, **kw) -> None:
         super().__init__(**kw)
-        db_dir = os.path.dirname(self.DATABASE_URL)
-        if db_dir:
-            os.makedirs(db_dir, exist_ok=True)
+        # Auto-create the sqlite directory (reference settings.py does the
+        # same); URL-style DSNs (postgresql://...) are not paths.
+        if "://" not in self.DATABASE_URL:
+            db_dir = os.path.dirname(self.DATABASE_URL)
+            if db_dir:
+                os.makedirs(db_dir, exist_ok=True)
 
 
 settings = BackendSettings()

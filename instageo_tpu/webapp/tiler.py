@@ -10,6 +10,7 @@ layer — file paths are never exposed (reference main.py:111-193).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 import io
 import math
 import os
@@ -66,8 +67,16 @@ class COGTiler:
         self.reader = GeoTiffReader(path)
         self.crs = self.reader.crs or 4326
         self.nodata = self.reader.nodata
+        self.mtime = os.path.getmtime(path)
         # cache decoded levels lazily
         self._levels: Dict[int, np.ndarray] = {}
+
+    def close(self) -> None:
+        self._levels.clear()
+        try:
+            self.reader.close()
+        except Exception:
+            pass
 
     def _level(self, idx: int) -> np.ndarray:
         if idx not in self._levels:
@@ -235,9 +244,14 @@ class COGTiler:
 class TilerService:
     """Task-id keyed tiler registry (reference tiler_service.py:20-127)."""
 
+    # Each cached tiler holds its decoded overview levels (up to the
+    # full-res mosaic) — bound the cache or a long-running server leaks
+    # one mosaic per viewed task until OOM.
+    MAX_CACHED = 8
+
     def __init__(self, data_dir: str) -> None:
         self.data_dir = data_dir
-        self._tilers: Dict[str, COGTiler] = {}
+        self._tilers: "OrderedDict[str, COGTiler]" = OrderedDict()
 
     def _cog_path(self, task_id: str, layer: str) -> str:
         name = f"{task_id}_{layer}.tif"
@@ -245,11 +259,26 @@ class TilerService:
 
     def get_tiler(self, task_id: str, layer: str) -> COGTiler:
         key = f"{task_id}/{layer}"
-        if key not in self._tilers:
-            path = self._cog_path(task_id, layer)
-            if not os.path.exists(path):
-                raise FileNotFoundError(f"No {layer} COG for task {task_id}")
-            self._tilers[key] = COGTiler(path)
+        cached = self._tilers.get(key)
+        if cached is not None:
+            # A re-run task rewrites its COG; a cached tiler would keep
+            # serving the OLD arrays — invalidate on mtime change.
+            try:
+                fresh = os.path.getmtime(cached.path) == cached.mtime
+            except OSError:
+                fresh = False
+            if fresh:
+                self._tilers.move_to_end(key)
+                return cached
+            cached.close()
+            del self._tilers[key]
+        path = self._cog_path(task_id, layer)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"No {layer} COG for task {task_id}")
+        self._tilers[key] = COGTiler(path)
+        while len(self._tilers) > self.MAX_CACHED:
+            _, old = self._tilers.popitem(last=False)
+            old.close()
         return self._tilers[key]
 
     def visualize_urls(self, task_id: str, base: str = "/api/titiler") -> Dict:

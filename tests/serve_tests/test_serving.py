@@ -187,3 +187,29 @@ def test_tp_serving_matches_replicated(trained_world, tmp_path):
     assert outs["rep"].keys() == outs["tp"].keys() and len(outs["rep"]) == 4
     for k in outs["rep"]:
         np.testing.assert_array_equal(outs["rep"][k], outs["tp"][k])
+
+
+def test_save_prediction_anchors_center_crop(tmp_path):
+    """A prediction smaller than its source chip (img_size < chip_size,
+    center crop) is georeferenced at the CROP's origin, not the chip's."""
+    from instageo_tpu.serve.infer import save_prediction
+
+    tr = Affine.from_origin(500000, 4100000, 30, 30)
+    chip = np.zeros((6, 64, 64), np.uint16)
+    src = tmp_path / "chip_x.tif"
+    write_geotiff(str(src), chip, transform=tr, crs=32633)
+
+    out = save_prediction(np.ones((32, 32), np.int8), str(src),
+                          str(tmp_path))
+    with GeoTiffReader(out) as r:
+        t = r.transform
+        # 16-px center-crop offset in both axes.
+        assert (t.c, t.f) == (500000 + 16 * 30, 4100000 - 16 * 30)
+        assert (t.a, t.e) == (tr.a, tr.e)
+
+    # Same-size predictions keep the chip's transform untouched.
+    (tmp_path / "full").mkdir()
+    out = save_prediction(np.ones((64, 64), np.int8), str(src),
+                          str(tmp_path / "full"))
+    with GeoTiffReader(out) as r:
+        assert (r.transform.c, r.transform.f) == (tr.c, tr.f)

@@ -145,3 +145,30 @@ def test_is_task_owner():
     assert auth.is_task_owner(task, {"sub": "auth0|user1"})
     assert not auth.is_task_owner(task, {"sub": "auth0|other"})
     assert not auth.is_task_owner(None, {"sub": "auth0|user1"})
+
+
+def test_key_rotation_refetches_jwks(keypair, monkeypatch):
+    """A token signed with a new kid triggers one JWKS refetch instead of
+    failing until process restart."""
+    from instageo_tpu.webapp import auth
+
+    key, jwks = keypair
+    rotated = {"keys": [{**jwks["keys"][0], "kid": "rotated"}]}
+    calls = {"n": 0}
+
+    def fake_get_jwks(domain):
+        calls["n"] += 1
+        return rotated
+
+    monkeypatch.setattr(auth, "get_jwks", fake_get_jwks)
+    monkeypatch.setattr(auth, "_last_jwks_refetch", [0.0])
+    token = _make_token(key, _payload(), kid="rotated")
+    user = auth.verify_jwt(token, domain=DOMAIN, audience=AUD)
+    assert user["sub"] == _payload()["sub"]
+
+    # Cooldown: an unknown kid right after does NOT hammer the endpoint.
+    before = calls["n"]
+    with pytest.raises(auth.AuthError, match="Signing key"):
+        auth.verify_jwt(_make_token(key, _payload(), kid="forged"),
+                        domain=DOMAIN, audience=AUD)
+    assert calls["n"] <= before + 2

@@ -44,3 +44,16 @@ def test_pg_row_mapping_and_positional():
     assert row["a"] == 1 and row["b"] == "x"
     assert row[0] == 1 and row[1] == "x"
     assert dict(row) == {"a": 1, "b": "x"}
+
+
+def test_pgrow_iterates_values_like_sqlite_row():
+    """Tuple unpacking must yield VALUES (sqlite3.Row semantics), not
+    dict keys — COUNT queries unpack with ``(n,) = row``."""
+    from instageo_tpu.webapp.db import _PgRow
+
+    row = _PgRow(["count"], [7])
+    (n,) = row
+    assert n == 7
+    assert list(row) == [7]
+    assert dict(row) == {"count": 7}
+    assert row["count"] == 7 and row[0] == 7

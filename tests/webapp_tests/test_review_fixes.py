@@ -174,3 +174,106 @@ def test_auth_auto_disables_without_auth0(monkeypatch):
     # restore the test-suite default
     monkeypatch.setenv("TESTING", "true")
     importlib.reload(settings_mod)
+
+
+def test_task_scoped_routes_enforce_ownership(tmp_path, monkeypatch):
+    """visualize/tile/tilejson/preview/statistics 403 for non-owners —
+    a task id leaking (shared link, logs) must not expose another
+    user's imagery."""
+    import numpy as np
+
+    from instageo_tpu.data.geotiff import Affine, write_geotiff
+    from instageo_tpu.webapp import db
+    from instageo_tpu.webapp import main as main_mod
+    from instageo_tpu.webapp.main import create_app
+
+    db_path = str(tmp_path / "t.sqlite")
+    db.init_db(db_path)
+    db.save_task({"task_id": "task-a", "user_sub": "owner",
+                  "status": "completed", "bboxes": [], "parameters": {},
+                  "stages": {}, "model_key": "m", "model_size": "s",
+                  "error": None, "created_at": 0}, db_path)
+    cog_dir = tmp_path / "tasks" / "task-a"
+    cog_dir.mkdir(parents=True)
+    write_geotiff(str(cog_dir / "task-a_predictions.tif"),
+                  np.zeros((1, 8, 8), np.int8),
+                  transform=Affine.from_origin(0, 1, 0.1, 0.1), crs=4326)
+
+    monkeypatch.setattr(main_mod.settings, "AUTH_DISABLED", False)
+    monkeypatch.setattr(main_mod.settings, "TASKS_DATA_DIR",
+                        str(tmp_path / "tasks"))
+    monkeypatch.setattr(main_mod, "get_current_user",
+                        lambda token: {"sub": token})
+
+    async def go():
+        app = create_app(db_path=db_path)
+        async with TestClient(TestServer(app)) as client:
+            routes = [
+                "/api/visualize/task-a",
+                "/api/titiler/task-a/predictions/tiles/1/0/0.png",
+                "/api/titiler/task-a/predictions/tilejson.json",
+                "/api/titiler/task-a/predictions/preview.png",
+                "/api/titiler/task-a/predictions/statistics",
+            ]
+            for path in routes:
+                r = await client.get(
+                    path, headers={"Authorization": "Bearer intruder"})
+                assert r.status == 403, (path, r.status)
+                r = await client.get(
+                    path, headers={"Authorization": "Bearer owner"})
+                assert r.status == 200, (path, r.status, await r.text())
+
+    _run(go())
+
+
+def test_expired_inflight_tasks_purged(tmp_path):
+    """The TTL reaper removes expired NON-terminal tasks and their jobs;
+    terminal tasks persist (reference Redis-TTL vs DB semantics)."""
+    import time as _time
+
+    from instageo_tpu.webapp import db, queue
+
+    db_path = str(tmp_path / "t.sqlite")
+    db.init_db(db_path)
+    now = _time.time()
+    for tid, status, exp in (
+            ("stale-running", "data_processing", now - 10),
+            ("fresh-running", "data_processing", now + 3600),
+            ("old-completed", "completed", now - 10)):
+        db.save_task({"task_id": tid, "user_sub": "u", "status": status,
+                      "bboxes": [], "parameters": {}, "stages": {},
+                      "model_key": "m", "model_size": "s", "error": None,
+                      "created_at": now - 100, "expires_at": exp}, db_path)
+        queue.enqueue("data-processing", "x:y", {}, task_id=tid,
+                      db_path=db_path)
+
+    assert queue.reap_expired_tasks(db_path) == 1
+    conn = db.get_conn(db_path)
+    left = {r["task_id"] for r in
+            conn.execute("SELECT task_id FROM tasks").fetchall()}
+    assert left == {"fresh-running", "old-completed"}
+    jobs = {r["task_id"] for r in
+            conn.execute("SELECT task_id FROM jobs").fetchall()}
+    assert "stale-running" not in jobs
+
+
+def test_run_model_rejects_unknown_size(tmp_path, monkeypatch):
+    import yaml
+
+    reg = tmp_path / "registry.yaml"
+    reg.write_text(yaml.safe_dump({"models": {
+        "m1": {"name": "M1", "sizes": {"small": {}, "base": {}}}}}))
+    monkeypatch.setenv("MODELS_REGISTRY_PATH", str(reg))
+
+    from instageo_tpu.webapp.main import create_app
+
+    async def go():
+        app = create_app(db_path=str(tmp_path / "t.sqlite"))
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/api/run-model", json={
+                "bboxes": [[0, 0, 1, 1]], "model_key": "m1",
+                "model_size": "huge"})
+            assert r.status == 422
+            assert "huge" in (await r.json())["detail"]
+
+    _run(go())

@@ -97,3 +97,42 @@ def test_cog_tiler_renders(tmp_path):
     tj = tiler.tilejson("/t/{z}/{x}/{y}.png")
     assert tj["bounds"][0] == pytest.approx(10.0)
     tiler.close()
+
+
+def test_tiler_cache_invalidates_on_rewrite_and_evicts(tmp_path):
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from instageo_tpu.data.geotiff import Affine, write_geotiff
+    from instageo_tpu.webapp.tiler import TilerService
+
+    svc = TilerService(str(tmp_path))
+    tr = Affine.from_origin(0, 1, 0.1, 0.1)
+
+    def write_cog(tid, value):
+        d = tmp_path / tid
+        d.mkdir(exist_ok=True)
+        write_geotiff(str(d / f"{tid}_predictions.tif"),
+                      np.full((1, 8, 8), value, np.int8),
+                      transform=tr, crs=4326)
+
+    write_cog("t1", 1)
+    tiler1 = svc.get_tiler("t1", "predictions")
+    assert svc.get_tiler("t1", "predictions") is tiler1  # cached
+
+    # Re-run rewrites the COG -> cached tiler must be replaced, serving
+    # the NEW data.
+    _time.sleep(0.01)
+    write_cog("t1", 2)
+    os.utime(tmp_path / "t1" / "t1_predictions.tif")
+    tiler2 = svc.get_tiler("t1", "predictions")
+    assert tiler2 is not tiler1
+    assert int(tiler2._level(0)[0, 0, 0]) == 2
+
+    # LRU eviction: the cache never exceeds MAX_CACHED entries.
+    for i in range(svc.MAX_CACHED + 3):
+        write_cog(f"e{i}", i)
+        svc.get_tiler(f"e{i}", "predictions")
+    assert len(svc._tilers) <= svc.MAX_CACHED
