@@ -278,6 +278,14 @@ def _try_kmeans_split(df: pd.DataFrame, n_clusters: int, test_ratio: float,
     centers = df["mgrs_tile"].map(_tile_center)
     df["lat"] = centers.map(lambda c: c[0] if c else np.nan)
     df["lon"] = centers.map(lambda c: c[1] if c else np.nan)
+    n_invalid = int(df[["lat", "lon"]].isna().any(axis=1).sum())
+    if n_invalid:
+        # Reference behavior (data_splitter.py:1057-1061): rows whose
+        # filenames yield no resolvable MGRS position cannot be
+        # spatially grouped and are excluded — loudly, never silently.
+        logging.warning(
+            "Filtering out %d records with unresolvable MGRS tiles — "
+            "they will appear in NO split.", n_invalid)
     df = df.dropna(subset=["lat", "lon"])
     n_clusters = min(n_clusters, max(1, df[["lat", "lon"]].drop_duplicates().shape[0]))
     coords = StandardScaler().fit_transform(df[["lat", "lon"]])

@@ -378,7 +378,13 @@ class InstaGeoDataset:
         )
         sample = self.preprocess_func(arr_x, arr_y)
         if self.include_filenames:
-            return sample, im_fname, arr_x == self.no_data_value
+            # process_data already applied constant_multiplier, so the
+            # no-data sentinel must be compared in the SCALED domain.
+            # (The reference compares unscaled — dataloader.py:906 — an
+            # all-False mask whenever multiplier != 1; its consumers
+            # discard the mask so the bug is latent there. Fixed here.)
+            nodata = self.no_data_value * self.constant_multiplier
+            return sample, im_fname, arr_x == nodata
         return sample
 
 
@@ -452,6 +458,19 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that keeps checking ``stop``: an abandoned
+            iterator (consumer raised/broke mid-epoch) must not leave the
+            producer blocked forever on a full queue, pinning the worker
+            pool and the queued decoded batches for the process lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -461,11 +480,12 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, idxs))
-                        q.put(self.collate_fn(samples))
+                        if not put_or_stop(self.collate_fn(samples)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

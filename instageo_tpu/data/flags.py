@@ -71,7 +71,9 @@ def define_common_flags() -> None:
     _define(flags.DEFINE_float, "spatial_resolution", 0.0002694945852358564,
             "Spatial resolution of the chip grid (CRS units/pixel).")
     _define(flags.DEFINE_bool, "shift_to_month_start", True,
-            "Shift observation dates to the month start.")
+            "Shift observation dates back to a month start "
+            "(reference-exact `date - MonthBegin(1)`: dates already on "
+            "the 1st roll back to the PREVIOUS month's start).")
     _define(flags.DEFINE_bool, "is_time_series_task", True,
             "Whether multiple timesteps are fetched per observation.")
     _define(flags.DEFINE_integer, "num_steps", 3, "Number of temporal steps.")

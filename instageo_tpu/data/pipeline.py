@@ -374,6 +374,19 @@ class BaseDataPipeline(ABC):
         out_csv = os.path.join(
             self.output_directory,
             f"{self.data_source.lower()}_dataset.csv")
+        if os.path.exists(out_csv):
+            # Resume contract: tiles already in processed_tiles.json
+            # return no rows this run — MERGE with the previous manifest
+            # or the CSV would be rewritten with only the new tiles'
+            # chips, silently dropping everything processed earlier.
+            try:
+                prev = pd.read_csv(out_csv)
+            except pd.errors.EmptyDataError:
+                prev = pd.DataFrame()
+            manifest = pd.concat([prev, manifest], ignore_index=True)
+            if "Input" in manifest.columns:
+                manifest = manifest.drop_duplicates(
+                    subset=["Input"], keep="last", ignore_index=True)
         manifest.to_csv(out_csv, index=False)
         return manifest
 

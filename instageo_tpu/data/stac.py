@@ -245,6 +245,11 @@ def find_closest_items(
     return out
 
 
+# NOTE: decorating at whole-function granularity (one call per pipeline
+# run) means the limiter effectively never throttles and a retry re-issues
+# every prior tile's search; actual pacing is the per-tile sleep(1) below.
+# This mirrors the reference exactly (stac_utils.py:320-327 decorates the
+# same function the same way) — kept for behavior parity.
 @rate_limited(DATA_PIPELINE_SETTINGS.METADATA_SEARCH_RATELIMIT, 60)
 @retry_backoff((StacAPIError, RuntimeError, requests.RequestException),
                max_tries=5, max_time=300)

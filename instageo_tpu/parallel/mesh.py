@@ -121,8 +121,14 @@ def zero1_place(tree: Any, mesh: Mesh) -> Any:
 
 
 def pad_batch(arrays: Sequence[np.ndarray], batch_size: int,
-              label_fill: float = -100) -> tuple:
+              label_fill: float = -100, repeat_inputs: bool = False) -> tuple:
     """Pad (inputs, labels) leading dim to ``batch_size``; labels get fill.
+
+    ``repeat_inputs`` pads the INPUT rows by cycling real samples instead
+    of zeros: padded labels are ignore-filled either way (loss/metrics
+    masked), but all-zero images would enter train-mode BatchNorm batch
+    statistics and skew them toward zero on every partial tail batch —
+    repeated real samples keep the statistics on-distribution.
 
     Returns (padded_inputs, padded_labels, n_real).
     """
@@ -131,7 +137,12 @@ def pad_batch(arrays: Sequence[np.ndarray], batch_size: int,
     if n == batch_size:
         return x, y, n
     pad_n = batch_size - n
-    x_pad = np.concatenate([x, np.zeros((pad_n,) + x.shape[1:], x.dtype)], axis=0)
+    if repeat_inputs and n > 0:
+        idx = np.arange(pad_n) % n
+        x_fill = x[idx]
+    else:
+        x_fill = np.zeros((pad_n,) + x.shape[1:], x.dtype)
+    x_pad = np.concatenate([x, x_fill], axis=0)
     y_pad = np.concatenate(
         [y, np.full((pad_n,) + y.shape[1:], label_fill, y.dtype)], axis=0
     )

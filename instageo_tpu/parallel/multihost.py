@@ -77,4 +77,10 @@ def aggregate_metrics(tree: Any) -> Any:
     from jax.experimental import multihost_utils
 
     gathered = multihost_utils.process_allgather(tree)
-    return jax.tree.map(lambda x: np.sum(x, axis=0), gathered)
+    # Host-side epoch finalize: sum in float64 so the confusion matrix's
+    # (hi, lo) f32 words — exact integers up to ~2^48 — don't re-round
+    # when the per-process high words are added.
+    return jax.tree.map(
+        lambda x: np.sum(np.asarray(x, np.float64), axis=0)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else np.sum(x, axis=0), gathered)

@@ -42,19 +42,36 @@ def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _two_sum(hi: jnp.ndarray, lo: jnp.ndarray, x: jnp.ndarray):
+    """Compensated (Knuth TwoSum) accumulation: ``hi + lo`` stays exact.
+
+    Per-batch CM updates are exact integers in f32 (≤ 2^24 counts per
+    batch), but a single f32 — or int32 — accumulator overflows on
+    epochs beyond ~2·10⁹ labeled pixels (≈ 43k chips of 224²; int32 CMs
+    go NEGATIVE there). Two f32 words give ~2^48 of exact integer range
+    with TPU-native arithmetic (no x64, no scatter, no host syncs).
+    """
+    s = hi + x
+    bb = s - hi
+    err = (hi - (s - bb)) + (x - bb)
+    return s, lo + err
+
+
 @flax.struct.dataclass
 class ConfusionMatrix:
     """Device-side streaming confusion matrix (single-label)."""
 
-    matrix: jnp.ndarray  # (C, C) int32
-    total: jnp.ndarray  # scalar int32
+    matrix: jnp.ndarray  # (C, C) f32 high word (exact with matrix_lo)
+    matrix_lo: jnp.ndarray  # (C, C) f32 compensation word
+    total: jnp.ndarray  # scalar f32 high word
+    total_lo: jnp.ndarray  # scalar f32 compensation word
 
     @classmethod
     def empty(cls, num_classes: int) -> "ConfusionMatrix":
-        return cls(
-            matrix=jnp.zeros((num_classes, num_classes), jnp.int32),
-            total=jnp.zeros((), jnp.int32),
-        )
+        z = jnp.zeros((num_classes, num_classes), jnp.float32)
+        return cls(matrix=z, matrix_lo=z,
+                   total=jnp.zeros((), jnp.float32),
+                   total_lo=jnp.zeros((), jnp.float32))
 
     def update(
         self,
@@ -86,18 +103,27 @@ class ConfusionMatrix:
         upd = jax.lax.dot_general(
             t_oh, p_oh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return ConfusionMatrix(
-            matrix=self.matrix + upd.astype(jnp.int32),
-            total=self.total + valid.sum(dtype=jnp.int32),
-        )
+        m_hi, m_lo = _two_sum(self.matrix, self.matrix_lo, upd)
+        t_hi, t_lo = _two_sum(self.total, self.total_lo,
+                              valid.sum(dtype=jnp.float32))
+        return ConfusionMatrix(matrix=m_hi, matrix_lo=m_lo,
+                               total=t_hi, total_lo=t_lo)
 
     def merge(self, other: "ConfusionMatrix") -> "ConfusionMatrix":
-        return ConfusionMatrix(self.matrix + other.matrix, self.total + other.total)
+        m_hi, m_lo = _two_sum(self.matrix, self.matrix_lo + other.matrix_lo,
+                              other.matrix)
+        t_hi, t_lo = _two_sum(self.total, self.total_lo + other.total_lo,
+                              other.total)
+        return ConfusionMatrix(matrix=m_hi, matrix_lo=m_lo,
+                               total=t_hi, total_lo=t_lo)
 
     def compute(self, include_per_class: bool = True) -> Dict:
         """Host-side finalize; formulas match reference metrics.py:125-166."""
-        m = np.asarray(jax.device_get(self.matrix), dtype=np.int64)
-        total = int(jax.device_get(self.total))
+        m = (np.asarray(jax.device_get(self.matrix), dtype=np.float64)
+             + np.asarray(jax.device_get(self.matrix_lo), dtype=np.float64))
+        m = np.rint(m).astype(np.int64)
+        total = int(round(float(jax.device_get(self.total))
+                          + float(jax.device_get(self.total_lo))))
         tp = np.diag(m)
         fp = m.sum(axis=0) - tp
         fn = m.sum(axis=1) - tp
@@ -329,9 +355,18 @@ class RunningConfusionMatrix:
         self.total += y_true.size
 
     def compute(self, include_per_class: bool = True) -> Dict:
+        # Split the exact int64 host counts into the device state's
+        # (hi, lo) f32 representation losslessly.
+        m64 = self.matrix.astype(np.float64)
+        m_hi = m64.astype(np.float32)
+        m_lo = (m64 - m_hi.astype(np.float64)).astype(np.float32)
+        t64 = float(self.total)
+        t_hi = np.float32(t64)
         state = ConfusionMatrix(
-            matrix=jnp.asarray(self.matrix, jnp.int32),
-            total=jnp.asarray(self.total, jnp.int32),
+            matrix=jnp.asarray(m_hi),
+            matrix_lo=jnp.asarray(m_lo),
+            total=jnp.asarray(t_hi),
+            total_lo=jnp.asarray(np.float32(t64 - float(t_hi))),
         )
         return state.compute(include_per_class)
 

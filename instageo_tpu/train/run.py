@@ -231,7 +231,11 @@ def main(argv: Optional[List[str]] = None) -> Any:
         from instageo_tpu.serve.infer import chip_inference
 
         out_dir = os.path.join(cfg.root_dir, "predictions")
-        infer_pre = _train_preprocess(cfg, augment=False)
+        # Deterministic CENTER crop: save_prediction anchors the output
+        # raster at the chip's center window; a random crop would write
+        # spatially mis-anchored predictions (see serve/pipeline.py).
+        infer_pre = partial(_train_preprocess(cfg, augment=False),
+                            crop="center")
         ds = _make_dataset(cfg.test_filepath, cfg, infer_pre, include_filenames=True)
         loader = create_dataloader(ds, batch_size, collate_fn=infer_collate)
         n, dt = chip_inference(loader, out_dir, model, variables,

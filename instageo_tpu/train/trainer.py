@@ -318,7 +318,8 @@ class Trainer:
         n_dev = int(self.mesh.devices.size)
         target = max(batch_size, int(np.asarray(x).shape[0]))
         target = ((target + n_dev - 1) // n_dev) * n_dev
-        x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), target, fill)
+        x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), target, fill,
+                            repeat_inputs=True)
         if self._transfer_bf16:
             # Model computes in bf16 anyway; casting on the host halves the
             # host->device bytes of the (normalized f32) batch.
@@ -523,9 +524,21 @@ class Trainer:
             restored = ocp.StandardCheckpointer().restore(
                 os.path.abspath(ckpt_path), target=target)
             opt_state = jax.device_get(self.state.opt_state)
+        def place_like(new_tree, cur_tree):
+            # Re-place each restored leaf with the LIVE state's sharding —
+            # replicate_tree here would silently discard the ZeRO-1 /
+            # tensor-parallel placements the trainer was built with
+            # (blowing up per-chip HBM by the sharding factor and forcing
+            # a recompile against the wrong layouts).
+            return jax.tree.map(
+                lambda new, cur: jax.device_put(new, cur.sharding)
+                if hasattr(cur, "sharding") else jax.device_put(new),
+                new_tree, cur_tree)
+
         self.state = TrainState(
             step=jnp.asarray(restored["step"]),
-            params=replicate_tree(restored["params"], self.mesh),
-            batch_stats=replicate_tree(restored["batch_stats"], self.mesh),
-            opt_state=replicate_tree(opt_state, self.mesh),
+            params=place_like(restored["params"], self.state.params),
+            batch_stats=place_like(restored["batch_stats"],
+                                   self.state.batch_stats),
+            opt_state=place_like(opt_state, self.state.opt_state),
         )

@@ -138,9 +138,15 @@ def test_chip_creator_cli_end_to_end(hls_world):
         s0 = r.read(1)
     assert (s0 == 1).sum() >= 9
 
-    # Idempotent resume: rerun produces no duplicates and doesn't crash.
+    # Idempotent resume: rerun produces no duplicates and doesn't crash —
+    # and the manifest KEEPS the previously processed tiles' rows (a
+    # resumed run returns no rows for done tiles; rewriting the CSV with
+    # only the new rows would silently drop them).
     chip_creator.main(None)
     assert len(sorted((out_dir / "chips").glob("chip_*.tif"))) == 2
+    manifest = pd.read_csv(out_dir / "hls_dataset.csv")
+    assert len(manifest) == 2
+    assert set(manifest.columns) == {"Input", "Label"}
 
 
 def test_chip_creator_download_mode(hls_world, monkeypatch):

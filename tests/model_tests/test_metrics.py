@@ -166,3 +166,30 @@ def test_kl_distillation_vs_torch():
     ref = float(torch.nn.KLDivLoss(reduction="batchmean")(
         F.log_softmax(s_t, dim=1), F.softmax(t_t, dim=1)))
     assert ours == pytest.approx(ref, rel=1e-4)
+
+
+def test_confusion_matrix_exact_beyond_int32():
+    """Epochs past 2^31 labeled pixels must not wrap (the old int32
+    accumulator went negative ~43k chips of 224²); the (hi, lo) f32
+    representation stays exact."""
+    import jax.numpy as jnp
+
+    from instageo_tpu.train.metrics import ConfusionMatrix, _two_sum
+
+    cm = ConfusionMatrix.empty(2)
+    chunk = float(2 ** 22)  # per-batch-scale count (< 2^24: f32-exact)
+    steps = 1024            # 1024 * 2 * 2^22 = 2^33 > int32 range
+    for _ in range(steps):
+        upd = jnp.array([[chunk, 1.0], [0.0, chunk]], jnp.float32)
+        m_hi, m_lo = _two_sum(cm.matrix, cm.matrix_lo, upd)
+        t_hi, t_lo = _two_sum(cm.total, cm.total_lo, upd.sum())
+        cm = ConfusionMatrix(matrix=m_hi, matrix_lo=m_lo,
+                             total=t_hi, total_lo=t_lo)
+    out = cm.compute(include_per_class=False)
+    total = steps * (2 * 2 ** 22 + 1)
+    diag = steps * 2 * 2 ** 22
+    assert out["accuracy"] == pytest.approx(diag / total, abs=1e-12)
+    m = (np.asarray(cm.matrix, np.float64)
+         + np.asarray(cm.matrix_lo, np.float64))
+    assert m[0, 0] == steps * 2 ** 22  # exact, no wrap, no rounding
+    assert m[0, 1] == steps
