@@ -26,13 +26,12 @@ import numpy as np
 
 # Persistent compilation cache: repeat bench runs (and the driver's
 # round-end run on the same machine) skip the multi-minute remote compile.
-_cache_dir = os.environ.get("JAX_BENCH_CACHE_DIR", "/tmp/instageo_jax_cache")
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# Same knobs as the framework (INSTAGEO_COMPILE_CACHE[_DIR]), with the
+# bench-specific JAX_BENCH_CACHE_DIR override kept for compatibility.
+from instageo_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache(os.environ.get("JAX_BENCH_CACHE_DIR",
+                                        "/tmp/instageo_jax_cache"))
 
 PER_CHIP_TARGET = 625.0  # 5000 chips/s on 8 chips
 

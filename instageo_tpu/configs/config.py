@@ -76,15 +76,31 @@ def parse_overrides(tokens: Iterable[str]) -> Tuple[Dict[str, Any], Optional[str
     overrides: Dict[str, Any] = {}
     config_name = None
     config_path = None
-    for tok in tokens:
-        if tok.startswith("--config-name"):
-            config_name = tok.split("=", 1)[1] if "=" in tok else None
-        elif tok.startswith("--config-path"):
-            config_path = tok.split("=", 1)[1] if "=" in tok else None
+    toks = list(tokens)
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        if tok.startswith(("--config-name", "--config-path")):
+            # Hydra accepts both --config-name=NAME and --config-name NAME;
+            # silently dropping the space-separated value would train with
+            # the DEFAULT config.
+            if "=" in tok:
+                value = tok.split("=", 1)[1]
+            elif i + 1 < len(toks) and "=" not in toks[i + 1]:
+                i += 1
+                value = toks[i]
+            else:
+                raise ValueError(f"{tok} requires a value "
+                                 f"({tok}=NAME or '{tok} NAME')")
+            if tok.startswith("--config-name"):
+                config_name = value
+            else:
+                config_path = value
         elif "=" in tok and not tok.startswith("-"):
             key, raw = tok.split("=", 1)
             # Hydra's +key=value (append) is accepted transparently.
             overrides[key.lstrip("+")] = _parse_value(raw)
+        i += 1
     return overrides, config_name, config_path
 
 

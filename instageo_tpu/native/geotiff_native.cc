@@ -303,6 +303,13 @@ bool parse_info(const uint8_t* d, size_t n, TiffInfo* info) {
     }
   }
   if (info->rows_per_strip == 0) info->rows_per_strip = info->height;
+  // Malformed files must fail parsing, not index out of bounds later:
+  // every offset needs a matching byte count, and each referenced range
+  // must lie inside the file (uint64 sums cannot wrap for n <= SIZE_MAX).
+  if (info->counts.size() < info->offsets.size()) {
+    set_error("byte-count tag shorter than offsets tag");
+    return false;
+  }
   return info->width > 0 && info->height > 0 && !info->offsets.empty();
 }
 
@@ -366,7 +373,12 @@ bool decode_tiff(const uint8_t* d, size_t n, uint8_t* out, size_t out_bytes) {
   if (!info.tiled) {
     int64_t strips_per_band =
         (H + info.rows_per_strip - 1) / info.rows_per_strip;
-    int64_t total = (int64_t)info.offsets.size();
+    // Extra offsets beyond the image geometry (malformed file) would
+    // otherwise index bands past the output buffer or make `rows` go
+    // negative (size_t-wrapping resize) — clamp to the valid count.
+    int64_t expect =
+        strips_per_band * (info.planar == 2 ? S : 1);
+    int64_t total = std::min<int64_t>((int64_t)info.offsets.size(), expect);
     for (int64_t idx = 0; idx < total; ++idx) {
       int64_t band = 0, strip = idx;
       if (info.planar == 2) {
@@ -375,10 +387,12 @@ bool decode_tiff(const uint8_t* d, size_t n, uint8_t* out, size_t out_bytes) {
       }
       int64_t row0 = strip * info.rows_per_strip;
       int64_t rows = std::min<int64_t>(info.rows_per_strip, H - row0);
+      if (band >= S || rows <= 0) return false;
       int64_t comps = info.planar == 1 ? S : 1;
       size_t raw = (size_t)(rows * W * comps * bs);
       block.resize(raw);
-      if (info.offsets[idx] + info.counts[idx] > n) return false;
+      if (info.offsets[idx] > n || info.counts[idx] > n - info.offsets[idx])
+        return false;  // overflow-safe range check
       if (!decompress(info.compression, d + info.offsets[idx],
                       info.counts[idx], block.data(), raw)) {
         set_error("decompress failed");
@@ -395,20 +409,25 @@ bool decode_tiff(const uint8_t* d, size_t n, uint8_t* out, size_t out_bytes) {
     }
   } else {
     int64_t tw = info.tile_w, th = info.tile_h;
+    if (tw <= 0 || th <= 0) return false;
     int64_t tiles_x = (W + tw - 1) / tw, tiles_y = (H + th - 1) / th;
     int64_t per_band = tiles_x * tiles_y;
-    int64_t total = (int64_t)info.offsets.size();
+    // Clamp to the geometry-implied tile count (see strip path above).
+    int64_t expect = per_band * (info.planar == 2 ? S : 1);
+    int64_t total = std::min<int64_t>((int64_t)info.offsets.size(), expect);
     for (int64_t idx = 0; idx < total; ++idx) {
       int64_t band = 0, t = idx;
       if (info.planar == 2) {
         band = idx / per_band;
         t = idx % per_band;
       }
+      if (band >= S) return false;
       int64_t ty = t / tiles_x, tx = t % tiles_x;
       int64_t comps = info.planar == 1 ? S : 1;
       size_t raw = (size_t)(th * tw * comps * bs);
       block.resize(raw);
-      if (info.offsets[idx] + info.counts[idx] > n) return false;
+      if (info.offsets[idx] > n || info.counts[idx] > n - info.offsets[idx])
+        return false;  // overflow-safe range check
       if (!decompress(info.compression, d + info.offsets[idx],
                       info.counts[idx], block.data(), raw)) {
         set_error("decompress failed");

@@ -315,6 +315,14 @@ export class Rectangle extends Evented {
   }
 
   remove() {
+    // Deregister from the map's vector list too — detaching only the SVG
+    // element would let the next redraw() (any pan/zoom) re-render this
+    // "removed" rectangle from map.vectors.
+    if (this.map) {
+      const m = this.map;
+      this.map = null;
+      m.vectors = m.vectors.filter((v) => v !== this);
+    }
     if (this.el) { this.el.remove(); this.el = null; }
   }
 }
@@ -491,6 +499,9 @@ export class GeoMap extends Evented {
     if (layer.pane) layer.pane.remove();
     this.layers = this.layers.filter((l) => l !== layer);
     layer.map = null;
+    // Drop the tile cache: the entries' <img>s died with the pane, and a
+    // re-addTo(map) would otherwise skip every previously-seen tile key.
+    if (layer._tiles) layer._tiles.clear();
     return this;
   }
 
