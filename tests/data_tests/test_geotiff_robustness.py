@@ -94,3 +94,57 @@ def test_cyclic_ifd_does_not_loop(tmp_path, valid_tif):
     bad.write_bytes(bytes(data))
     with GeoTiffReader(str(bad)) as r:  # must terminate
         assert len(r.ifds) >= 1
+
+
+def _mutate_ifd_tag(data: bytes, tag_id: int, *, new_id=None,
+                    new_count=None, new_value=None) -> bytes:
+    """Surgically rewrite one IFD tag of a classic little-endian TIFF."""
+    import struct
+
+    buf = bytearray(data)
+    ifd = struct.unpack_from("<I", buf, 4)[0]
+    n = struct.unpack_from("<H", buf, ifd)[0]
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        tid = struct.unpack_from("<H", buf, off)[0]
+        if tid != tag_id:
+            continue
+        if new_id is not None:
+            struct.pack_into("<H", buf, off, new_id)
+        if new_count is not None:
+            struct.pack_into("<I", buf, off + 4, new_count)
+        if new_value is not None:
+            struct.pack_into("<I", buf, off + 8, new_value)
+        return bytes(buf)
+    raise AssertionError(f"tag {tag_id} not found")
+
+
+def test_native_decoder_malformed_geometry(valid_tif, tmp_path):
+    """Targeted malformed-IFD cases for the native decoder's bounds
+    clamps: missing byte counts, huge RowsPerStrip, zero-size geometry.
+    Must fail (or succeed) CLEANLY — never read/write out of bounds."""
+    from instageo_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    p, _ = valid_tif
+    data = open(p, "rb").read()
+
+    cases = {
+        # StripByteCounts renamed away: offsets without counts.
+        "no_counts": _mutate_ifd_tag(data, 279, new_id=59999),
+        # RowsPerStrip huge: geometry implies fewer strips than offsets.
+        "huge_rps": _mutate_ifd_tag(data, 278, new_value=2 ** 30),
+        # RowsPerStrip tiny: geometry implies far MORE strips than exist.
+        "tiny_rps": _mutate_ifd_tag(data, 278, new_value=1),
+        # Zero width.
+        "zero_w": _mutate_ifd_tag(data, 256, new_value=0),
+    }
+    for name, blob in cases.items():
+        bad = tmp_path / f"{name}.tif"
+        bad.write_bytes(blob)
+        try:
+            native.read_geotiff_native(str(bad))
+        except Exception:
+            pass  # clean failure is the contract; crashing is not
+    assert True
