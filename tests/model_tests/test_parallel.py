@@ -155,3 +155,32 @@ def test_tp_training_matches_dp():
     # compared — Adam turns eps-scale f32 reduction-order differences on
     # near-zero grads into ±lr update flips.)
     np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=1e-4)
+
+
+def test_tp_with_scanned_steps():
+    """tpu.tp=2 composes with the k-step scanned train path (shardings
+    thread through the lax.scan carry)."""
+    from instageo_tpu.parallel.mesh import mesh_from_config
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": 8, "train.ignore_index": -1,
+        "tpu.precision": "f32", "tpu.tp": 2, "tpu.zero1": True,
+        "tpu.steps_per_call": 2,
+    })
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables,
+                      mesh=mesh_from_config(cfg.get("tpu")))
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
+    # Two batches -> one full k=2 scan group actually executes.
+    m = trainer.run_train_epoch(iter([(x, y), (x, y)]),
+                                jax.random.PRNGKey(0), 8)
+    assert np.isfinite(m["train_loss"])
+    assert int(jax.device_get(trainer.state.step)) == 2
