@@ -244,6 +244,54 @@ def main(argv: Optional[List[str]] = None) -> Any:
                           "chips_per_sec": n / dt if dt else 0.0}))
         return n
 
+    if mode == "sliding_inference":
+        # Granule-scale streaming inference straight from a chip-creator
+        # dataset JSON (the reference's demo-notebook workflow:
+        # notebooks/InstaGeo_Demo.ipynb runs chip_creator with
+        # --processing_method=download-only then
+        # `mode=sliding_inference test_filepath=hls_dataset.json`; the
+        # reference CLI never implemented the mode — here it streams
+        # whole tiles through serve/granule.py, no chip files).
+        check_required_flags(["root_dir", "test_filepath", "checkpoint_path"],
+                             cfg)
+        from instageo_tpu.data.sources import hls, s1, s2
+        from instageo_tpu.serve.granule import granule_inference_to_file
+
+        openers = {"HLS": hls.open_hls_stac_items,
+                   "S2": s2.open_s2_stac_items,
+                   "S1": s1.open_s1_stac_items}
+        source = str(cfg.test.get("data_source", "HLS")).upper()
+        with open(cfg.test_filepath) as f:
+            dataset = json.load(f)
+        out_dir = os.path.join(cfg.root_dir, "predictions")
+        os.makedirs(out_dir, exist_ok=True)
+        start_time = time.time()
+        n = 0
+        for key, tile_dict in dataset.items():
+            bands, _masks, transform, crs = openers[source](
+                tile_dict, load_masks=False)
+            safe = key.replace("/", "_")[:128]
+            granule_inference_to_file(
+                bands,
+                os.path.join(out_dir, f"prediction_{safe}.tif"),
+                model, variables,
+                mean=list(cfg.dataloader.mean), std=list(cfg.dataloader.std),
+                transform=transform, crs=crs,
+                chip_size=int(cfg.dataloader.get("img_size", 224)),
+                temporal_size=int(cfg.dataloader.get("temporal_dim", 1)),
+                bands=cfg.dataloader.get("bands"),
+                constant_multiplier=float(
+                    cfg.dataloader.get("constant_multiplier", 1.0)),
+                is_reg_task=bool(cfg.get("is_reg_task", False)),
+                batch_size=batch_size,
+                no_data_value=cfg.dataloader.get("no_data_value", -9999) or 0,
+            )
+            n += 1
+        dt = time.time() - start_time
+        print(json.dumps({"granules": n, "seconds": dt,
+                          "out_dir": out_dir}))
+        return n
+
     raise ValueError(f"Unknown mode {mode!r}")
 
 

@@ -90,3 +90,50 @@ def test_train_eval_infer_cycle(chip_dir, tmp_path):
         assert r.crs == 32633  # georeferencing carried over
         arr = r.read(1)
     assert set(np.unique(arr)) <= {0, 1}
+
+
+def test_sliding_inference_mode(chip_dir, tmp_path):
+    """mode=sliding_inference streams whole granules from a chip-creator
+    dataset JSON (the reference demo-notebook workflow after
+    --processing_method=download-only) and writes stitched predictions."""
+    run_dir = tmp_path / "run"
+    run_main(["mode=train"] + _common_overrides(chip_dir, run_dir))
+    ckpt = run_dir / "instageo_best_checkpoint"
+
+    # A local 'granule': 6 band files, 96px (3x3 grid of 32px chips).
+    rng = np.random.default_rng(7)
+    gdir = tmp_path / "granule"
+    gdir.mkdir()
+    tr = Affine.from_origin(499980, 4100040, 30, 30)
+    assets = {}
+    for b in ["B02", "B03", "B04", "B8A", "B11", "B12"]:
+        arr = rng.integers(1, 10000, size=(96, 96)).astype(np.uint16)
+        p = str(gdir / f"g_{b}.tif")
+        write_geotiff(p, arr[None], transform=tr, crs=32633, nodata=0)
+        assets[b] = {"href": p}
+    dataset = {"G1": {"granules": [{
+        "id": "HLS.S30.T33TUN.2022145T100000.v2.0",
+        "collection": "HLSS30_2.0", "bbox": [0, 0, 1, 1],
+        "properties": {"datetime": "2022-05-25T10:00:00Z"},
+        "assets": assets,
+    }]}}
+    ds_json = tmp_path / "hls_dataset.json"
+    ds_json.write_text(json.dumps(dataset))
+
+    out_root = tmp_path / "sliding"
+    out_root.mkdir()
+    n = run_main(
+        ["mode=sliding_inference", f"checkpoint_path={ckpt}",
+         f"test_filepath={ds_json}"]
+        + [o for o in _common_overrides(chip_dir, tmp_path / "sl_run")
+           if not o.startswith(("test_filepath", "root_dir"))]
+        + [f"root_dir={out_root}"])
+    assert n == 1
+    preds = sorted((out_root / "predictions").glob("prediction_*.tif"))
+    assert len(preds) == 1
+    with GeoTiffReader(str(preds[0])) as r:
+        assert (r.height, r.width) == (96, 96)  # full-granule coverage
+        assert r.crs == 32633
+        assert (r.transform.c, r.transform.f) == (tr.c, tr.f)
+        arr = r.read(1)
+    assert set(np.unique(arr)) <= {0, 1}
