@@ -243,7 +243,14 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, Dh)
 
-        use_pallas = self.attn_impl == "pallas" and jax.default_backend() == "tpu"
+        impl = self.attn_impl
+        if impl == "auto":
+            # Batch size is static under jit, so the choice binds per
+            # compiled program: the Pallas kernel wins ~2.7x at small
+            # batch (latency serving); XLA's fused attention wins ~1.27x
+            # from b≈128 (PERF.md measured crossover).
+            impl = "pallas" if b <= 16 else "xla"
+        use_pallas = impl == "pallas" and jax.default_backend() == "tpu"
         if use_pallas:
             from instageo_tpu.ops.attention import flash_attention
 

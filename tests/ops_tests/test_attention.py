@@ -56,3 +56,22 @@ def test_block_attention_via_model_flag():
     assert jax.tree.structure(params_p) == jax.tree.structure(
         jax.eval_shape(lambda: params))
     assert np.isfinite(np.asarray(out_xla)).all()
+
+
+def test_attn_impl_auto_matches_xla_numerics():
+    """attn_impl=auto resolves per traced batch size; on CPU both
+    branches lower to the XLA path, so outputs must match exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instageo_tpu.models.prithvi import Attention
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 10, 32)),
+                    jnp.float32)
+    outs = {}
+    for impl in ("xla", "auto"):
+        m = Attention(num_heads=4, dtype=jnp.float32, attn_impl=impl)
+        v = m.init(jax.random.PRNGKey(0), x)
+        outs[impl] = np.asarray(m.apply(v, x))
+    np.testing.assert_array_equal(outs["xla"], outs["auto"])
