@@ -95,7 +95,6 @@ def test_group_close_mgrs_tiles():
     # Two Toronto-area tiles vs one Sydney tile.
     groups = group_close_mgrs_tiles(["17TPJ", "17TPK", "56HLH"],
                                     distance_threshold=400.0)
-    as_sets = sorted(groups, key=len, reverse=True)
     assert {"17TPJ", "17TPK"} in groups
     assert {"56HLH"} in groups
 

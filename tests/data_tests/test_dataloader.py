@@ -187,10 +187,13 @@ def test_dataset_and_loader_end_to_end(tmp_path):
     x, y = batches[0]
     assert x.shape == (2, 6, 1, 32, 32)
     assert y.shape == (2, 32, 32)
-    # loader reshuffles across epochs
+    # loader reshuffles across epochs: per-sample labels are distinct
+    # (seeded per chip), so a different epoch order MUST change the
+    # concatenated stream — equal streams would mean a frozen order.
     first = np.concatenate([b[1].ravel() for b in batches])
     second = np.concatenate([b[1].ravel() for b in list(loader)])
     assert first.shape == second.shape
+    assert not np.array_equal(first, second)
 
 
 def test_eval_collate_concatenates():

@@ -49,14 +49,23 @@ def test_parallel_download_mocked(tmp_path, monkeypatch):
         def __enter__(self): return self
         def __exit__(self, *a): pass
 
-    monkeypatch.setattr(requests, "get", lambda *a, **k: FakeResp())
+    gets = {"n": 0}
+
+    def fake_get(*a, **k):
+        gets["n"] += 1
+        return FakeResp()
+
+    monkeypatch.setattr(requests, "get", fake_get)
     out = parallel_download({"a.tif": "http://x/a", "b.tif": "http://x/b"},
                             str(tmp_path))
     assert len(out) == 2
+    assert gets["n"] == 2
     assert os.path.getsize(tmp_path / "a.tif") == 4096
-    # second call skips existing files
+    # Second call SKIPS existing valid files — no new HTTP request (the
+    # resume contract that matters on a ~15 MB/s relay link).
     out2 = parallel_download({"a.tif": "http://x/a"}, str(tmp_path))
     assert len(out2) == 1
+    assert gets["n"] == 2
 
 
 def test_s2_auth_state_token_flow(monkeypatch):

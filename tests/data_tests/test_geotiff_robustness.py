@@ -42,10 +42,16 @@ def test_bitflips_do_not_hang(valid_tif, tmp_path):
         try:
             with GeoTiffReader(str(bad)) as r:
                 out = r.read()
-                assert out.shape[1:] == arr.shape[1:] or True
         except Exception:
             crashes += 1  # raising is fine; hanging/segfaulting is not
-    assert True  # reaching here at all is the assertion
+            continue
+        # A decode that SUCCEEDS must still be shape-consistent (outside
+        # the try so a violation is NOT swallowed as a "crash").
+        assert out.shape[1:] == arr.shape[1:]
+    # The real assertions are implicit: the loop terminated (no hang) and
+    # no trial segfaulted; on this dense deflate fixture most or all
+    # trials raise, which is the accepted outcome.
+    assert 0 <= crashes <= 25
 
 
 def test_native_decoder_corrupt_inputs(valid_tif, tmp_path):

@@ -72,9 +72,6 @@ def test_open_remote_geotiff(tmp_path):
     payload = open(p, "rb").read()
 
     sess = FakeSession(payload)
-    # route HttpFile construction through our fake session
-    reader = remote_io.open_remote_geotiff.__wrapped__ if hasattr(
-        remote_io.open_remote_geotiff, "__wrapped__") else None
     from instageo_tpu.data.geotiff import GeoTiffReader
 
     f = remote_io.HttpFile("http://x/remote.tif", session=sess, block_size=2048)

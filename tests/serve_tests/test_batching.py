@@ -33,17 +33,18 @@ def test_bucket_padding_shapes():
 
     def predict(x):
         shapes.append(x.shape[0])
-        return np.zeros((x.shape[0],))
+        return x.sum(axis=1)
 
     b = DynamicBatcher(predict, max_batch=8, max_wait_ms=30)
-    futs = [b.submit(np.ones((4,))) for _ in range(3)]
-    for f in futs:
-        f.result(timeout=10)
+    futs = [b.submit(np.full((4,), i, np.float32)) for i in range(3)]
+    results = [f.result(timeout=10) for f in futs]
     b.close()
     # 3 requests ride bucketed programs: every executed batch is a
     # power-of-two bucket, never a raw odd size.
     assert all(s in (1, 2, 4, 8) for s in shapes)
-    assert sum(1 for _ in futs) == 3
+    # Padding must NOT leak into results: request i gets ITS row back.
+    for i, r in enumerate(results):
+        assert r == pytest.approx(4.0 * i)
 
 
 def test_error_propagates_to_waiters():
@@ -65,15 +66,20 @@ def test_close_fails_pending_and_rejects_new():
         return np.zeros((x.shape[0],))
 
     b = DynamicBatcher(predict, max_batch=1, max_wait_ms=1)
-    first = b.submit(np.ones((1,)))  # occupies the worker
+    first = b.submit(np.ones((1,)))   # occupies the worker
     time.sleep(0.1)
-    b._closed.set()
-    stranded = b._q
-    stranded.put((np.ones((1,)), __import__(
-        "concurrent.futures", fromlist=["Future"]).Future()))
+    pending = b.submit(np.ones((1,)))  # queued behind it
+    # Begin close() BEFORE releasing the worker: _closed is set first, so
+    # the worker exits after `first` and can never consume `pending`.
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    time.sleep(0.1)
     release.set()
-    b.close()
+    closer.join(10)
     first.result(timeout=10)
+    # The queued-but-never-run request must FAIL, not hang forever.
+    with pytest.raises(RuntimeError, match="closed"):
+        pending.result(timeout=10)
     with pytest.raises(RuntimeError):
         b.submit(np.ones((1,)))
 

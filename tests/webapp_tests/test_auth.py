@@ -149,26 +149,30 @@ def test_is_task_owner():
 
 def test_key_rotation_refetches_jwks(keypair, monkeypatch):
     """A token signed with a new kid triggers one JWKS refetch instead of
-    failing until process restart."""
+    failing until process restart: the FIRST fetch serves the stale
+    (pre-rotation) key set, only the refetch sees the rotated one."""
     from instageo_tpu.webapp import auth
 
     key, jwks = keypair
+    stale = jwks
     rotated = {"keys": [{**jwks["keys"][0], "kid": "rotated"}]}
     calls = {"n": 0}
 
     def fake_get_jwks(domain):
         calls["n"] += 1
-        return rotated
+        return stale if calls["n"] == 1 else rotated
 
     monkeypatch.setattr(auth, "get_jwks", fake_get_jwks)
     monkeypatch.setattr(auth, "_last_jwks_refetch", [0.0])
     token = _make_token(key, _payload(), kid="rotated")
     user = auth.verify_jwt(token, domain=DOMAIN, audience=AUD)
     assert user["sub"] == _payload()["sub"]
+    assert calls["n"] == 2  # stale miss -> cache-bust -> refetch hit
 
-    # Cooldown: an unknown kid right after does NOT hammer the endpoint.
+    # Cooldown: a forged kid inside the window gets NO second refetch
+    # (exactly one lookup call, not another cache-bust pair).
     before = calls["n"]
     with pytest.raises(auth.AuthError, match="Signing key"):
         auth.verify_jwt(_make_token(key, _payload(), kid="forged"),
                         domain=DOMAIN, audience=AUD)
-    assert calls["n"] <= before + 2
+    assert calls["n"] == before + 1
