@@ -14,6 +14,7 @@ from collections import OrderedDict
 import io
 import math
 import os
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -24,6 +25,10 @@ from instageo_tpu.data.geotiff import GeoTiffReader
 
 _R = 6378137.0
 _ORIGIN = math.pi * _R
+
+# Allowed characters for URL-supplied path components (UUID task ids,
+# layer names) — anything else is rejected before touching the filesystem.
+_SAFE_ID = re.compile(r"[A-Za-z0-9_.-]+")
 
 # Categorical colors for prediction classes (RGBA).
 CLASS_COLORS = {
@@ -254,6 +259,10 @@ class TilerService:
         self._tilers: "OrderedDict[str, COGTiler]" = OrderedDict()
 
     def _cog_path(self, task_id: str, layer: str) -> str:
+        # task_id arrives from the URL; it must never traverse out of the
+        # tasks data dir ("../../etc" etc.). Server-created ids are UUIDs.
+        if not _SAFE_ID.fullmatch(task_id) or not _SAFE_ID.fullmatch(layer):
+            raise FileNotFoundError(f"No {layer} COG for task {task_id}")
         name = f"{task_id}_{layer}.tif"
         return os.path.join(self.data_dir, task_id, name)
 
@@ -285,6 +294,8 @@ class TilerService:
         """Task-keyed tile/tilejson/preview/statistics URLs (reference
         tiler_service.py:45-92) — no filesystem paths exposed."""
         out = {}
+        if not _SAFE_ID.fullmatch(task_id):
+            return out
         for layer in ("chips", "predictions"):
             if os.path.exists(self._cog_path(task_id, layer)):
                 out[layer] = {

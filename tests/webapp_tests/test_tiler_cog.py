@@ -136,3 +136,16 @@ def test_tiler_cache_invalidates_on_rewrite_and_evicts(tmp_path):
         write_cog(f"e{i}", i)
         svc.get_tiler(f"e{i}", "predictions")
     assert len(svc._tilers) <= svc.MAX_CACHED
+
+
+def test_task_id_path_traversal_rejected(tmp_path):
+    """URL-supplied task ids must never traverse out of the data dir."""
+    import pytest as _pytest
+
+    from instageo_tpu.webapp.tiler import TilerService
+
+    svc = TilerService(str(tmp_path))
+    for bad in ("../../etc", "a/../b", "..", "", "a\x00b"):
+        with _pytest.raises(FileNotFoundError):
+            svc.get_tiler(bad, "predictions")
+        assert svc.visualize_urls(bad) == {}
