@@ -30,8 +30,7 @@ import numpy as np
 # bench-specific JAX_BENCH_CACHE_DIR override kept for compatibility.
 from instageo_tpu.utils.compile_cache import enable_compilation_cache
 
-enable_compilation_cache(os.environ.get("JAX_BENCH_CACHE_DIR",
-                                        "/tmp/instageo_jax_cache"))
+enable_compilation_cache(os.environ.get("JAX_BENCH_CACHE_DIR"))
 
 PER_CHIP_TARGET = 625.0  # 5000 chips/s on 8 chips
 

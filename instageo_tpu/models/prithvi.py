@@ -233,7 +233,8 @@ class Attention(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+                 ) -> jnp.ndarray:
         b, l, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
@@ -248,9 +249,16 @@ class Attention(nn.Module):
             # Batch size is static under jit, so the choice binds per
             # compiled program: the Pallas kernel wins ~2.7x at small
             # batch (latency serving); XLA's fused attention wins ~1.27x
-            # from b≈128 (PERF.md measured crossover).
-            impl = "pallas" if b <= 16 else "xla"
-        use_pallas = impl == "pallas" and jax.default_backend() == "tpu"
+            # from b≈128 (PERF.md measured crossover). Inference-only:
+            # the Pallas kernel has no autodiff rule, so a training
+            # (non-deterministic) forward must stay on the XLA path or
+            # jax.grad fails at trace time.
+            impl = "pallas" if (deterministic and b <= 16) else "xla"
+        # Training forwards always use the XLA path: the Pallas kernel
+        # has no autodiff rule, so differentiating through it fails at
+        # trace time even when explicitly requested.
+        use_pallas = (impl == "pallas" and deterministic
+                      and jax.default_backend() == "tpu")
         if use_pallas:
             from instageo_tpu.ops.attention import flash_attention
 
@@ -300,12 +308,13 @@ class Block(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+                 ) -> jnp.ndarray:
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
-        )(y.astype(self.dtype))
+        )(y.astype(self.dtype), deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, name="mlp"
@@ -415,6 +424,7 @@ class PrithviViT(nn.Module):
         x: jnp.ndarray,
         temporal_coords: Optional[jnp.ndarray] = None,
         location_coords: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         if x.ndim == 4 and self.patch_size[0] == 1:
             x = x[:, :, None]  # add time dim (reference pritvhi.py:507-509)
@@ -470,7 +480,7 @@ class PrithviViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"blocks_{i}",
-            )(tokens)
+            )(tokens, deterministic)
 
         tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(tokens)
         return tokens

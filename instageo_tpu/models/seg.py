@@ -192,7 +192,8 @@ class PrithviSeg(nn.Module):
         location_coords: Optional[jnp.ndarray] = None,
     ) -> Any:
         tokens = self.prithvi_encoder(
-            img, temporal_coords=temporal_coords, location_coords=location_coords
+            img, temporal_coords=temporal_coords,
+            location_coords=location_coords, deterministic=not train,
         )
         feats = tokens[:, 1:, :]  # drop cls token
         b, l, d = feats.shape

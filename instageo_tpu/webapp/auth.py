@@ -37,15 +37,17 @@ def _b64url_decode(s: str) -> bytes:
 
 
 _JWKS_REFETCH_COOLDOWN_S = 30.0
-_last_jwks_refetch = [0.0]
+_last_jwks_refetch: dict = {}
 
 
-def _jwks_refetch_allowed() -> bool:
+def _jwks_refetch_allowed(domain: str) -> bool:
+    """Per-domain cooldown: one tenant's refetch (or a forged kid) must
+    not block another tenant's rotation recovery."""
     import time as _time
 
     now = _time.monotonic()
-    if now - _last_jwks_refetch[0] >= _JWKS_REFETCH_COOLDOWN_S:
-        _last_jwks_refetch[0] = now
+    if now - _last_jwks_refetch.get(domain, 0.0) >= _JWKS_REFETCH_COOLDOWN_S:
+        _last_jwks_refetch[domain] = now
         return True
     return False
 
@@ -86,7 +88,7 @@ def verify_jwt(token: str, domain: Optional[str] = None,
                      if k.get("kid") == header.get("kid")), None)
 
     key_spec = _find_key()
-    if key_spec is None and _jwks_refetch_allowed():
+    if key_spec is None and _jwks_refetch_allowed(domain):
         # Unknown kid usually means the tenant rotated its signing keys
         # since the JWKS was cached — bust the cache and refetch ONCE
         # before rejecting, or rotation locks every user out until a

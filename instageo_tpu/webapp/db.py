@@ -238,8 +238,11 @@ def save_task(task: Dict[str, Any], db_path: Optional[str] = None) -> None:
             json.dumps(task.get("stages")), task.get("model_key"),
             task.get("model_size"), task.get("error"),
             task.get("created_at", now), now,
-            task.get("expires_at",
-                     task.get("created_at", now) + settings.TASK_TTL),
+            # TTL refreshes on every write (the reference's Redis hashes
+            # get their TTL reset per write too): slow-but-progressing
+            # tasks are not purged; only tasks with NO writes for a full
+            # TTL window expire.
+            task.get("expires_at", now + settings.TASK_TTL),
         ))
     conn.commit()
 

@@ -216,15 +216,18 @@ async def health(request: web.Request) -> web.Response:
     return web.json_response(checks, status=status)
 
 
-def _task_access(request: web.Request, task_id: str):
+async def _task_access(request: web.Request, task_id: str):
     """(task, error_response): 404 unknown, 403 not the owner.
 
     The reference guards task-scoped routes with its ``is_task_owner``
     decorator (auth.py:76-101); tile/visualize routes are task-scoped
     too — without this, any authenticated user holding a task id could
-    read another user's imagery and statistics.
+    read another user's imagery and statistics. The DB lookup runs off
+    the event loop: a map view fires dozens of tile requests and a
+    blocking query per tile would serialize the whole server.
     """
-    task = Task.load(task_id, request.app["db_path"])
+    task = await asyncio.get_running_loop().run_in_executor(
+        None, Task.load, task_id, request.app["db_path"])
     if settings.AUTH_DISABLED:
         # Dev/test mode: no ownership to enforce; handlers decide what a
         # missing task row means for them (tiles fall back to file
@@ -242,7 +245,7 @@ def _task_access(request: web.Request, task_id: str):
 async def visualize(request: web.Request) -> web.Response:
     """GET /api/visualize/{task_id} (reference tiler_service.py:45-92)."""
     task_id = request.match_info["task_id"]
-    task, err = _task_access(request, task_id)
+    task, err = await _task_access(request, task_id)
     if err is not None:
         return err
     if task is None:
@@ -288,7 +291,7 @@ def _render_params(request: web.Request, layer: str) -> Dict[str, Any]:
 
 async def tile_png(request: web.Request) -> web.Response:
     m = request.match_info
-    _, err = _task_access(request, m["task_id"])
+    _, err = await _task_access(request, m["task_id"])
     if err is not None:
         return err
     try:
@@ -311,7 +314,7 @@ async def tile_png(request: web.Request) -> web.Response:
 
 async def tilejson(request: web.Request) -> web.Response:
     m = request.match_info
-    _, err = _task_access(request, m["task_id"])
+    _, err = await _task_access(request, m["task_id"])
     if err is not None:
         return err
     try:
@@ -325,7 +328,7 @@ async def tilejson(request: web.Request) -> web.Response:
 
 async def preview_png(request: web.Request) -> web.Response:
     m = request.match_info
-    _, err = _task_access(request, m["task_id"])
+    _, err = await _task_access(request, m["task_id"])
     if err is not None:
         return err
     try:
@@ -341,7 +344,7 @@ async def preview_png(request: web.Request) -> web.Response:
 
 async def statistics(request: web.Request) -> web.Response:
     m = request.match_info
-    _, err = _task_access(request, m["task_id"])
+    _, err = await _task_access(request, m["task_id"])
     if err is not None:
         return err
     try:

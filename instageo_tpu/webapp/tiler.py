@@ -15,6 +15,7 @@ import io
 import math
 import os
 import re
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -28,7 +29,7 @@ _ORIGIN = math.pi * _R
 
 # Allowed characters for URL-supplied path components (UUID task ids,
 # layer names) — anything else is rejected before touching the filesystem.
-_SAFE_ID = re.compile(r"[A-Za-z0-9_.-]+")
+_SAFE_ID = re.compile(r"(?!\.+$)[A-Za-z0-9_.-]+")
 
 # Categorical colors for prediction classes (RGBA).
 CLASS_COLORS = {
@@ -75,18 +76,20 @@ class COGTiler:
         self.mtime = os.path.getmtime(path)
         # cache decoded levels lazily
         self._levels: Dict[int, np.ndarray] = {}
-
-    def close(self) -> None:
-        self._levels.clear()
-        try:
-            self.reader.close()
-        except Exception:
-            pass
+        # Tile renders run on executor threads (webapp/main.py) and the
+        # reader's shared fp seek/read is NOT thread-safe — concurrent
+        # cache-miss decodes corrupt each other without this lock.
+        self._decode_lock = threading.Lock()
 
     def _level(self, idx: int) -> np.ndarray:
-        if idx not in self._levels:
-            self._levels[idx] = self.reader.read(ifd_index=idx)
-        return self._levels[idx]
+        cached = self._levels.get(idx)
+        if cached is None:
+            with self._decode_lock:
+                cached = self._levels.get(idx)
+                if cached is None:
+                    cached = self.reader.read(ifd_index=idx)
+                    self._levels[idx] = cached
+        return cached
 
     def bounds_4326(self) -> Tuple[float, float, float, float]:
         t = self.reader.transform
@@ -257,6 +260,7 @@ class TilerService:
     def __init__(self, data_dir: str) -> None:
         self.data_dir = data_dir
         self._tilers: "OrderedDict[str, COGTiler]" = OrderedDict()
+        self._lock = threading.Lock()
 
     def _cog_path(self, task_id: str, layer: str) -> str:
         # task_id arrives from the URL; it must never traverse out of the
@@ -267,28 +271,33 @@ class TilerService:
         return os.path.join(self.data_dir, task_id, name)
 
     def get_tiler(self, task_id: str, layer: str) -> COGTiler:
-        key = f"{task_id}/{layer}"
-        cached = self._tilers.get(key)
-        if cached is not None:
-            # A re-run task rewrites its COG; a cached tiler would keep
-            # serving the OLD arrays — invalidate on mtime change.
-            try:
-                fresh = os.path.getmtime(cached.path) == cached.mtime
-            except OSError:
-                fresh = False
-            if fresh:
-                self._tilers.move_to_end(key)
-                return cached
-            cached.close()
-            del self._tilers[key]
-        path = self._cog_path(task_id, layer)
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"No {layer} COG for task {task_id}")
-        self._tilers[key] = COGTiler(path)
-        while len(self._tilers) > self.MAX_CACHED:
-            _, old = self._tilers.popitem(last=False)
-            old.close()
-        return self._tilers[key]
+        # Called from executor threads concurrently; the lock covers the
+        # cache dict. Evicted/invalidated tilers are NOT closed eagerly —
+        # an executor thread may still be rendering from one; dropping
+        # the reference lets in-flight renders finish and GC reclaim the
+        # file handle.
+        with self._lock:
+            key = f"{task_id}/{layer}"
+            cached = self._tilers.get(key)
+            if cached is not None:
+                # A re-run task rewrites its COG; a cached tiler would
+                # keep serving the OLD arrays — invalidate on mtime
+                # change.
+                try:
+                    fresh = os.path.getmtime(cached.path) == cached.mtime
+                except OSError:
+                    fresh = False
+                if fresh:
+                    self._tilers.move_to_end(key)
+                    return cached
+                del self._tilers[key]
+            path = self._cog_path(task_id, layer)
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"No {layer} COG for task {task_id}")
+            self._tilers[key] = COGTiler(path)
+            while len(self._tilers) > self.MAX_CACHED:
+                self._tilers.popitem(last=False)
+            return self._tilers[key]
 
     def visualize_urls(self, task_id: str, base: str = "/api/titiler") -> Dict:
         """Task-keyed tile/tilejson/preview/statistics URLs (reference

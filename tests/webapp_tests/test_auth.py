@@ -163,7 +163,7 @@ def test_key_rotation_refetches_jwks(keypair, monkeypatch):
         return stale if calls["n"] == 1 else rotated
 
     monkeypatch.setattr(auth, "get_jwks", fake_get_jwks)
-    monkeypatch.setattr(auth, "_last_jwks_refetch", [0.0])
+    monkeypatch.setattr(auth, "_last_jwks_refetch", {})
     token = _make_token(key, _payload(), kid="rotated")
     user = auth.verify_jwt(token, domain=DOMAIN, audience=AUD)
     assert user["sub"] == _payload()["sub"]

@@ -149,3 +149,31 @@ def test_task_id_path_traversal_rejected(tmp_path):
         with _pytest.raises(FileNotFoundError):
             svc.get_tiler(bad, "predictions")
         assert svc.visualize_urls(bad) == {}
+
+
+def test_concurrent_tile_renders_are_consistent(tmp_path):
+    """Tile renders run on executor threads; concurrent cache-miss
+    decodes on one shared reader corrupted tiles before the decode lock
+    (reproduced: zlib errors + silently wrong arrays)."""
+    import concurrent.futures
+
+    import numpy as np
+
+    from instageo_tpu.data.geotiff import Affine, write_geotiff
+    from instageo_tpu.webapp.tiler import COGTiler
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 3000, size=(3, 256, 256)).astype(np.uint16)
+    p = str(tmp_path / "cog.tif")
+    write_geotiff(p, arr, transform=Affine.from_origin(0, 50, 0.001, 0.001),
+                  crs=4326, compress="deflate")
+
+    tiler = COGTiler(p)
+    ref = tiler.render_tile(9, 255, 181)
+    tiler2 = COGTiler(p)  # fresh: empty level cache for the race
+
+    with concurrent.futures.ThreadPoolExecutor(6) as pool:
+        futs = [pool.submit(tiler2.render_tile, 9, 255, 181)
+                for _ in range(12)]
+        outs = [f.result() for f in futs]  # raises on decode corruption
+    assert all(o == ref for o in outs)
