@@ -472,7 +472,11 @@ class PrithviViT(nn.Module):
         # Rematerialization trades recompute for activation memory — the
         # standard lever for fitting Prithvi-600M training on one chip
         # (jax.checkpoint per transformer block).
-        block_cls = nn.remat(Block) if self.remat else Block
+        # static_argnums: the `deterministic` bool (arg 2, counting self)
+        # must stay a Python value under jax.checkpoint — traced, the
+        # attention impl branch would fail at trace time.
+        block_cls = (nn.remat(Block, static_argnums=(2,))
+                     if self.remat else Block)
         for i in range(self.depth):
             tokens = block_cls(
                 num_heads=self.num_heads,

@@ -105,3 +105,30 @@ def test_v2_600_kernel_shrink_formula():
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     assert out.shape == (1, 2, expected, expected)
+
+
+def test_remat_training_grad():
+    """tpu.remat (per-block jax.checkpoint) must stay differentiable,
+    including with attn_impl=auto — the deterministic flag has to pass
+    through nn.remat as a STATIC argument (traced, the impl branch
+    raised TracerBoolConversionError)."""
+    import jax
+    import jax.numpy as jnp
+
+    from instageo_tpu.models.seg import create_prithvi_seg
+
+    m = create_prithvi_seg("prithvi_eo_tiny", num_classes=2, temporal_step=1,
+                           image_size=32, num_bands=6, attn_impl="auto",
+                           remat=True)
+    x = jnp.zeros((4, 6, 1, 32, 32), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        out, _ = m.apply({**v, "params": p}, x, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(v["params"])
+    import numpy as np
+    assert all(np.isfinite(leaf).all() for leaf in jax.tree.leaves(g))
