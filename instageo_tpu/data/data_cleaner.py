@@ -59,12 +59,11 @@ _CLEANER_WINDOW_DEFAULT = 1
 
 
 def _window_size() -> int:
-    """window_size, defaulting to 1 when shared with the chip-creator
-    registry (whose default is 0) and not passed on the command line."""
-    fl = FLAGS["window_size"]
-    if fl.present or fl.default == _CLEANER_WINDOW_DEFAULT:
-        return int(FLAGS.window_size)
-    return _CLEANER_WINDOW_DEFAULT
+    """window_size with the cleaner default (1) — see
+    ``data.flags.window_size_with_default``."""
+    from instageo_tpu.data.flags import window_size_with_default
+
+    return window_size_with_default(_CLEANER_WINDOW_DEFAULT)
 
 
 def should_drop_chip(chip_fname: str, no_data_threshold: float,

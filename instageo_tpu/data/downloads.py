@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import zipfile
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -174,8 +175,6 @@ def parallel_downloads_s2(product_ids: Sequence[str], outdir: str,
                           workers: int = 4) -> List[str]:
     """Concurrent CDSE product downloads with per-worker auth state
     (reference s2_utils.py:320-357)."""
-    import threading
-
     # ONE auth state per worker thread (token minted once and refreshed
     # on expiry) — a fresh S2AuthState per product would hit the CDSE
     # token endpoint once per download.

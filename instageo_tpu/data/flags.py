@@ -30,10 +30,10 @@ def _define(define_fn, name: str, *args, **kwargs) -> None:
         define_fn(name, *args, **kwargs)
 
 
-def chip_window_size() -> int:
-    """``window_size`` with the chip-creator default (0) applied when the
-    flag belongs to the data-cleaner registry (default 1) and was not
-    passed on the command line.
+def window_size_with_default(default: int) -> int:
+    """``window_size`` with the CALLER's default applied when the flag was
+    registered by the other CLI family (chip creators default 0, the data
+    cleaner defaults 1) and not passed on the command line.
 
     In-process multi-CLI flows must call ``FLAGS.unparse_flags()``
     between CLIs (as the demos, tests, and webapp workers do) — absl's
@@ -41,9 +41,13 @@ def chip_window_size() -> int:
     CLI's explicit ``--window_size`` into the other's different
     parameter (true of every shared flag, e.g. ``output_directory``)."""
     fl = FLAGS["window_size"]
-    if fl.present or fl.default == CHIP_WINDOW_DEFAULT:
+    if fl.present or fl.default == default:
         return int(FLAGS.window_size)
-    return CHIP_WINDOW_DEFAULT
+    return default
+
+
+def chip_window_size() -> int:
+    return window_size_with_default(CHIP_WINDOW_DEFAULT)
 
 
 def define_common_flags() -> None:

@@ -43,9 +43,7 @@ _last_jwks_refetch: dict = {}
 def _jwks_refetch_allowed(domain: str) -> bool:
     """Per-domain cooldown: one tenant's refetch (or a forged kid) must
     not block another tenant's rotation recovery."""
-    import time as _time
-
-    now = _time.monotonic()
+    now = time.monotonic()
     if now - _last_jwks_refetch.get(domain, 0.0) >= _JWKS_REFETCH_COOLDOWN_S:
         _last_jwks_refetch[domain] = now
         return True
@@ -93,10 +91,8 @@ def verify_jwt(token: str, domain: Optional[str] = None,
         # since the JWKS was cached — bust the cache and refetch ONCE
         # before rejecting, or rotation locks every user out until a
         # process restart. (Cooldown-limited so forged kids can't turn
-        # this into a JWKS-fetch amplifier; hasattr guards tests that
-        # monkeypatch get_jwks with a plain lambda.)
-        if hasattr(get_jwks, "cache_clear"):
-            get_jwks.cache_clear()
+        # this into a JWKS-fetch amplifier.)
+        getattr(get_jwks, "cache_clear", lambda: None)()
         key_spec = _find_key()
     if key_spec is None:
         raise AuthError("Signing key not found")

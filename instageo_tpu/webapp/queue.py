@@ -202,8 +202,9 @@ def reap_expired_tasks(db_path: Optional[str] = None) -> int:
         task_id = row["task_id"]
         conn.execute("DELETE FROM jobs WHERE task_id=?", (task_id,))
         conn.execute("DELETE FROM tasks WHERE task_id=?", (task_id,))
-        conn.commit()
         log.info("Expired in-flight task %s purged (TTL)", task_id)
+    if rows:
+        conn.commit()
     return len(rows)
 
 
