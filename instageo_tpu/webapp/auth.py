@@ -12,7 +12,6 @@ import base64
 import json
 import logging
 import time
-from functools import lru_cache
 from typing import Any, Dict, Optional
 
 import requests
@@ -50,12 +49,27 @@ def _jwks_refetch_allowed(domain: str) -> bool:
     return False
 
 
-@lru_cache(maxsize=4)
+_jwks_cache: Dict[str, Dict[str, Any]] = {}
+
+
 def get_jwks(domain: str) -> Dict[str, Any]:
-    """Fetch + cache the tenant's JWKS (reference auth.py:19-34)."""
-    r = requests.get(f"https://{domain}/.well-known/jwks.json", timeout=15)
-    r.raise_for_status()
-    return r.json()
+    """Fetch + cache the tenant's JWKS (reference auth.py:19-34).
+
+    Per-domain dict cache (not lru_cache): key-rotation recovery must be
+    able to evict ONE domain's entry without blowing away every other
+    tenant's cached keys."""
+    cached = _jwks_cache.get(domain)
+    if cached is None:
+        r = requests.get(f"https://{domain}/.well-known/jwks.json",
+                         timeout=15)
+        r.raise_for_status()
+        cached = r.json()
+        _jwks_cache[domain] = cached
+    return cached
+
+
+def _evict_jwks(domain: str) -> None:
+    _jwks_cache.pop(domain, None)
 
 
 def _rsa_key_from_jwk(jwk: Dict[str, str]):
@@ -88,11 +102,11 @@ def verify_jwt(token: str, domain: Optional[str] = None,
     key_spec = _find_key()
     if key_spec is None and _jwks_refetch_allowed(domain):
         # Unknown kid usually means the tenant rotated its signing keys
-        # since the JWKS was cached — bust the cache and refetch ONCE
-        # before rejecting, or rotation locks every user out until a
-        # process restart. (Cooldown-limited so forged kids can't turn
-        # this into a JWKS-fetch amplifier.)
-        getattr(get_jwks, "cache_clear", lambda: None)()
+        # since the JWKS was cached — evict THIS domain's entry and
+        # refetch ONCE before rejecting, or rotation locks every user
+        # out until a process restart. (Cooldown-limited so forged kids
+        # can't turn this into a JWKS-fetch amplifier.)
+        _evict_jwks(domain)
         key_spec = _find_key()
     if key_spec is None:
         raise AuthError("Signing key not found")

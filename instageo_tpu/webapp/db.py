@@ -231,7 +231,8 @@ def save_task(task: Dict[str, Any], db_path: Optional[str] = None) -> None:
            VALUES(?,?,?,?,?,?,?,?,?,?,?,?)
            ON CONFLICT(task_id) DO UPDATE SET
                status=excluded.status, stages=excluded.stages,
-               error=excluded.error, updated_at=excluded.updated_at""",
+               error=excluded.error, updated_at=excluded.updated_at,
+               expires_at=excluded.expires_at""",
         (
             task["task_id"], task.get("user_sub"), task.get("status"),
             json.dumps(task.get("bboxes")), json.dumps(task.get("parameters")),

@@ -136,7 +136,11 @@ async def run_model(request: web.Request) -> web.Response:
 
 async def get_task(request: web.Request) -> web.Response:
     """GET /api/task/{task_id} (reference main.py:329-362)."""
-    task = Task.load(request.match_info["task_id"], request.app["db_path"])
+    # Off the event loop: sqlite's 30 s busy timeout on a contended write
+    # lock would otherwise park the whole server on this polling route.
+    task = await asyncio.get_running_loop().run_in_executor(
+        None, Task.load, request.match_info["task_id"],
+        request.app["db_path"])
     if task is None:
         return web.json_response({"detail": "Task not found"}, status=404)
     user = request.get("user", {})
@@ -148,8 +152,9 @@ async def get_task(request: web.Request) -> web.Response:
 async def list_tasks_handler(request: web.Request) -> web.Response:
     """GET /api/tasks (reference main.py:365-391)."""
     user = request.get("user", {})
-    tasks = db.list_tasks(user_sub=user.get("sub"),
-                          db_path=request.app["db_path"])
+    tasks = await asyncio.get_running_loop().run_in_executor(
+        None, functools.partial(db.list_tasks, user_sub=user.get("sub"),
+                                db_path=request.app["db_path"]))
     return web.json_response({"tasks": tasks})
 
 
@@ -318,7 +323,8 @@ async def tilejson(request: web.Request) -> web.Response:
     if err is not None:
         return err
     try:
-        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
+        tiler = await asyncio.get_running_loop().run_in_executor(
+            None, request.app["tiler"].get_tiler, m["task_id"], m["layer"])
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     url = (f"/api/titiler/{m['task_id']}/{m['layer']}"
@@ -348,10 +354,15 @@ async def statistics(request: web.Request) -> web.Response:
     if err is not None:
         return err
     try:
-        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
+        loop = asyncio.get_running_loop()
+        tiler = await loop.run_in_executor(
+            None, request.app["tiler"].get_tiler, m["task_id"], m["layer"])
+        # statistics() may decode a level (and wait on the tiler's decode
+        # lock held by a tile render) — keep it off the event loop too.
+        stats = await loop.run_in_executor(None, tiler.statistics)
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
-    return web.json_response(tiler.statistics())
+    return web.json_response(stats)
 
 
 # ---------------------------------------------------------------------------

@@ -271,13 +271,15 @@ class TilerService:
         return os.path.join(self.data_dir, task_id, name)
 
     def get_tiler(self, task_id: str, layer: str) -> COGTiler:
-        # Called from executor threads concurrently; the lock covers the
-        # cache dict. Evicted/invalidated tilers are NOT closed eagerly —
-        # an executor thread may still be rendering from one; dropping
-        # the reference lets in-flight renders finish and GC reclaim the
-        # file handle.
+        # Called from executor threads concurrently; the lock covers only
+        # the cache dict — a COLD construction (file open + IFD parse of a
+        # large mosaic) happens OUTSIDE it, so tile traffic for cached
+        # tasks never serializes behind one slow open. Evicted/invalidated
+        # tilers are NOT closed eagerly — an executor thread may still be
+        # rendering from one; dropping the reference lets in-flight
+        # renders finish and GC reclaim the file handle.
+        key = f"{task_id}/{layer}"
         with self._lock:
-            key = f"{task_id}/{layer}"
             cached = self._tilers.get(key)
             if cached is not None:
                 # A re-run task rewrites its COG; a cached tiler would
@@ -291,13 +293,20 @@ class TilerService:
                     self._tilers.move_to_end(key)
                     return cached
                 del self._tilers[key]
-            path = self._cog_path(task_id, layer)
-            if not os.path.exists(path):
-                raise FileNotFoundError(f"No {layer} COG for task {task_id}")
-            self._tilers[key] = COGTiler(path)
+        path = self._cog_path(task_id, layer)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"No {layer} COG for task {task_id}")
+        tiler = COGTiler(path)
+        with self._lock:
+            # Another thread may have built one meanwhile — keep the
+            # first so its level cache is shared.
+            existing = self._tilers.get(key)
+            if existing is not None and existing.mtime == tiler.mtime:
+                return existing
+            self._tilers[key] = tiler
             while len(self._tilers) > self.MAX_CACHED:
                 self._tilers.popitem(last=False)
-            return self._tilers[key]
+            return tiler
 
     def visualize_urls(self, task_id: str, base: str = "/api/titiler") -> Dict:
         """Task-keyed tile/tilejson/preview/statistics URLs (reference

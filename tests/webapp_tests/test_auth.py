@@ -38,7 +38,7 @@ def _make_token(key, payload, kid="testkey", alg="RS256"):
 @pytest.fixture
 def jwks_patched(keypair, monkeypatch):
     _, jwks = keypair
-    auth.get_jwks.cache_clear()
+    monkeypatch.setattr(auth, "_jwks_cache", {})
     monkeypatch.setattr(auth, "get_jwks", lambda domain: jwks)
 
 

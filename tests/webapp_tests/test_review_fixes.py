@@ -277,3 +277,31 @@ def test_run_model_rejects_unknown_size(tmp_path, monkeypatch):
             assert "huge" in (await r.json())["detail"]
 
     _run(go())
+
+
+def test_task_update_refreshes_expiry(tmp_path, monkeypatch):
+    """Every save refreshes expires_at (the reference resets its Redis
+    TTL per write): a slow-but-progressing task must not be purged."""
+    import time as _time
+
+    from instageo_tpu.webapp import db, queue
+
+    db_path = str(tmp_path / "t.sqlite")
+    db.init_db(db_path)
+    base = {"task_id": "slow", "user_sub": "u", "bboxes": [],
+            "parameters": {}, "stages": {}, "model_key": "m",
+            "model_size": "s", "error": None}
+    now = _time.time()
+    # Created long ago (stale expiry)...
+    db.save_task({**base, "status": "pending", "created_at": now - 100,
+                  "expires_at": now - 10}, db_path)
+    # ...but a progress write lands now: the UPDATE must refresh expiry
+    # (the INSERT..ON CONFLICT clause once dropped the new expires_at).
+    db.save_task({**base, "status": "model_prediction",
+                  "created_at": now - 100}, db_path)
+    assert queue.reap_expired_tasks(db_path) == 0
+    conn = db.get_conn(db_path)
+    row = conn.execute("SELECT expires_at, status FROM tasks "
+                       "WHERE task_id='slow'").fetchone()
+    assert row["status"] == "model_prediction"
+    assert row["expires_at"] > now  # refreshed, not the stale value
