@@ -33,6 +33,13 @@ log = logging.getLogger(__name__)
 PUBLIC_ROUTES = {"/api/health", "/api/docs", "/api/openapi.json"}
 
 
+async def _off_loop(fn, *args, **kwargs):
+    """Run blocking work (sqlite under a 30 s busy timeout, raster decode,
+    JWKS HTTP fetch) on the default executor — never on the event loop."""
+    return await asyncio.get_running_loop().run_in_executor(
+        None, functools.partial(fn, *args, **kwargs))
+
+
 # ---------------------------------------------------------------------------
 # Middleware
 # ---------------------------------------------------------------------------
@@ -57,7 +64,10 @@ async def auth_middleware(request: web.Request, handler):
     if not token:
         return web.json_response({"detail": "Missing bearer token"}, status=401)
     try:
-        request["user"] = get_current_user(token)
+        # get_current_user may fetch the tenant JWKS over HTTPS (cold
+        # cache / key rotation) — off the loop, or a slow Auth0 endpoint
+        # stalls every request on the server.
+        request["user"] = await _off_loop(get_current_user, token)
     except AuthError as e:
         return web.json_response({"detail": str(e)}, status=e.status)
     return await handler(request)
@@ -126,10 +136,14 @@ async def run_model(request: web.Request) -> web.Response:
                 user_sub=user.get("sub", ""), model_key=model_key,
                 model_size=meta.get("size") or "",
                 db_path=request.app["db_path"])
-    db.upsert_user(user.get("sub", ""), user.get("email", ""),
-                   db_path=request.app["db_path"])
-    task.save()
-    task.start_data_processing()
+
+    def _persist_and_enqueue():
+        db.upsert_user(user.get("sub", ""), user.get("email", ""),
+                       db_path=request.app["db_path"])
+        task.save()
+        task.start_data_processing()
+
+    await _off_loop(_persist_and_enqueue)
     return web.json_response({"task_id": task.task_id,
                               "status": task.status}, status=202)
 
@@ -160,7 +174,8 @@ async def list_tasks_handler(request: web.Request) -> web.Response:
 
 async def queues_status(request: web.Request) -> web.Response:
     """GET /api/queues/status (reference main.py:394-400)."""
-    return web.json_response(queue.get_queues_status(request.app["db_path"]))
+    return web.json_response(
+        await _off_loop(queue.get_queues_status, request.app["db_path"]))
 
 
 async def list_jobs_handler(request: web.Request) -> web.Response:
@@ -170,14 +185,15 @@ async def list_jobs_handler(request: web.Request) -> web.Response:
     restricted to tasks the caller owns (args/errors carry bboxes and
     tracebacks — same ownership rule as /api/tasks)."""
     q = request.rel_url.query
-    jobs = queue.list_jobs(
-        queue_name=q.get("queue"), status=q.get("status"),
+    jobs = await _off_loop(
+        queue.list_jobs, queue_name=q.get("queue"), status=q.get("status"),
         limit=min(int(q.get("limit", 100)), 500),
         db_path=request.app["db_path"])
     if not settings.AUTH_DISABLED:
         user_sub = request.get("user", {}).get("sub")
-        owned = {t["task_id"] for t in db.list_tasks(
-            user_sub=user_sub, db_path=request.app["db_path"])}
+        owned = {t["task_id"] for t in await _off_loop(
+            db.list_tasks, user_sub=user_sub,
+            db_path=request.app["db_path"])}
         jobs = [j for j in jobs if j.get("task_id") in owned]
     return web.json_response({"jobs": jobs})
 
@@ -201,14 +217,19 @@ async def get_model(request: web.Request) -> web.Response:
 async def health(request: web.Request) -> web.Response:
     """GET /api/health: DB + queue/worker probing (reference main.py:444-513)."""
     checks: Dict[str, Any] = {"status": "healthy"}
-    try:
+
+    def _probe_db():
         db.get_conn(request.app["db_path"]).execute("SELECT 1")
+
+    try:
+        await _off_loop(_probe_db)
         checks["database"] = "ok"
     except Exception as e:
         checks["database"] = f"error: {e}"
         checks["status"] = "unhealthy"
     try:
-        checks["queues"] = queue.get_queues_status(request.app["db_path"])
+        checks["queues"] = await _off_loop(queue.get_queues_status,
+                                           request.app["db_path"])
     except Exception as e:
         checks["queues"] = f"error: {e}"
         checks["status"] = "unhealthy"
@@ -305,13 +326,14 @@ async def tile_png(request: web.Request) -> web.Response:
         return web.json_response({"detail": "Bad tile coordinates"},
                                  status=422)
     try:
-        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
-        # Raster decode + PNG encode off the event loop: a first render
-        # at deep zoom decodes a whole overview level — synchronous here
-        # would freeze every other request for seconds.
-        png = await asyncio.get_running_loop().run_in_executor(
-            None, functools.partial(tiler.render_tile, z, x, y,
-                                    **_render_params(request, m["layer"])))
+        # get_tiler (cold open parses every IFD) + render both off the
+        # event loop: a first render at deep zoom decodes a whole
+        # overview level — synchronous here would freeze every other
+        # request for seconds.
+        tiler = await _off_loop(request.app["tiler"].get_tiler,
+                                m["task_id"], m["layer"])
+        png = await _off_loop(tiler.render_tile, z, x, y,
+                              **_render_params(request, m["layer"]))
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     return web.Response(body=png, content_type="image/png")
@@ -338,11 +360,10 @@ async def preview_png(request: web.Request) -> web.Response:
     if err is not None:
         return err
     try:
-        tiler = request.app["tiler"].get_tiler(m["task_id"], m["layer"])
-        png = await asyncio.get_running_loop().run_in_executor(
-            None,
-            functools.partial(tiler.preview,
-                              **_render_params(request, m["layer"])))
+        tiler = await _off_loop(request.app["tiler"].get_tiler,
+                                m["task_id"], m["layer"])
+        png = await _off_loop(tiler.preview,
+                              **_render_params(request, m["layer"]))
     except FileNotFoundError as e:
         return web.json_response({"detail": str(e)}, status=404)
     return web.Response(body=png, content_type="image/png")

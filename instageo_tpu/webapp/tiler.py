@@ -301,7 +301,10 @@ class TilerService:
             # Another thread may have built one meanwhile — keep the
             # first so its level cache is shared.
             existing = self._tilers.get(key)
-            if existing is not None and existing.mtime == tiler.mtime:
+            if existing is not None and existing.mtime >= tiler.mtime:
+                # Keep the newest (a concurrent thread may have cached a
+                # tiler for a REWRITTEN file); equal mtimes share the
+                # first tiler's level cache.
                 return existing
             self._tilers[key] = tiler
             while len(self._tilers) > self.MAX_CACHED:
