@@ -39,6 +39,7 @@ def _run_demo(name: str, tmp_path, marker: str) -> str:
     ("data_splitter_demo.py", "splits_locations.png"),
     ("raster_chip_creator_demo.py", "2 chips + 2 seg maps"),
     ("multichip_training.py", "multichip walkthrough OK"),
+    ("quickstart.py", "map.html in a browser"),
 ])
 def test_demo_runs(name, marker, tmp_path):
     out = _run_demo(name, tmp_path, marker)
