@@ -62,3 +62,26 @@ def test_experiment_logger(tmp_path):
     assert len(lines) == 2
     assert lines[0]["loss"] == 1.0 and lines[0]["_step"] == 0
     assert os.path.exists(tmp_path / "run_meta.json")
+
+
+def test_profile_trace_writes_capture(tmp_path):
+    """profile_trace captures a real jax.profiler trace (validated on the
+    TPU too: xplane.pb + trace.json.gz written through the relay)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from instageo_tpu.utils.telemetry import profile_trace
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    float(f(jnp.ones((8, 8))))
+    with profile_trace(str(tmp_path / "trace"), enabled=True):
+        float(f(jnp.ones((8, 8))))
+    files = [p for p in glob.glob(str(tmp_path / "trace" / "**" / "*"),
+                                  recursive=True) if os.path.isfile(p)]
+    assert files, "no trace files written"
+    # disabled -> no capture, no directory side effects
+    with profile_trace(str(tmp_path / "off"), enabled=False):
+        float(f(jnp.ones((8, 8))))
+    assert not glob.glob(str(tmp_path / "off" / "**" / "*"), recursive=True)
