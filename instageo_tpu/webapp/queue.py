@@ -23,6 +23,14 @@ from instageo_tpu.webapp import db
 
 log = logging.getLogger(__name__)
 
+# Worker/job processes use the spawn start method: the enclosing app (and
+# the test runner) may hold an initialized, multithreaded JAX runtime, and
+# fork()ing such a parent can deadlock the child in a held mutex (JAX warns
+# "os.fork() was called" on the default Linux start method). Spawned
+# children re-import their target module fresh, which is also what the
+# reference's RQ workers do (separate worker containers, jobs.py).
+_mp = multiprocessing.get_context("spawn")
+
 QUEUE_DATA_PROCESSING = "data-processing"
 QUEUE_MODEL_PREDICTION = "model-prediction"
 QUEUE_VISUALIZATION = "visualization-preparation"
@@ -133,7 +141,7 @@ def run_job_isolated(job: Dict, db_path: Optional[str] = None) -> bool:
     and the queue is wedged even after reap_timeouts marks it timed_out.
     """
     timeout_s = job.get("timeout_s") or DEFAULT_TIMEOUTS.get(job["queue"], 3600.0)
-    proc = multiprocessing.Process(target=_job_child, args=(job, db_path))
+    proc = _mp.Process(target=_job_child, args=(job, db_path))
     proc.start()
     proc.join(timeout_s)
     if proc.is_alive():
@@ -290,8 +298,8 @@ def start_workers(queues=ALL_QUEUES, db_path: Optional[str] = None
     """
     procs = []
     for q in queues:
-        p = multiprocessing.Process(target=_worker_main, args=(q, db_path),
-                                    name=f"worker-{q}")
+        p = _mp.Process(target=_worker_main, args=(q, db_path),
+                        name=f"worker-{q}")
         p.start()
         procs.append(p)
     return procs
