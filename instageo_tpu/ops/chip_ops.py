@@ -224,28 +224,37 @@ def process_tile_chips(
         chips = apply_mask(chips, masks, no_data_value, data_source,
                            mask_types, masking_strategy)
 
-    # Per-chip padded point tensors (host side; cheap).
-    p_rc = np.zeros((n, max_points_per_chip, 2), np.int32)
-    p_lab = np.zeros((n, max_points_per_chip), np.float32)
-    p_valid = np.zeros((n, max_points_per_chip), bool)
-    counts = np.bincount(point_chip_idx[point_chip_idx >= 0], minlength=n)
-    if counts.size and counts.max() > max_points_per_chip:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "process_tile_chips: %d chips exceed max_points_per_chip=%d; "
-            "excess observations are dropped (raise the cap if labels look "
-            "sparse)", int((counts > max_points_per_chip).sum()),
-            max_points_per_chip)
-    for ci in range(n):
-        sel = np.nonzero(point_chip_idx == ci)[0][:max_points_per_chip]
-        k = len(sel)
-        x0 = chip_coords[ci, 0] * chip_size
-        y0 = chip_coords[ci, 1] * chip_size
-        p_rc[ci, :k, 0] = point_rc[sel, 0] - y0
-        p_rc[ci, :k, 1] = point_rc[sel, 1] - x0
-        p_lab[ci, :k] = point_labels[sel]
-        p_valid[ci, :k] = True
+    # Per-chip padded point tensors, assembled without a per-chip Python
+    # loop: one stable argsort groups points by owning chip while keeping
+    # the original observation order WITHIN each chip (the reference's
+    # "later points overwrite earlier" stamping semantics depend on it,
+    # data_pipeline.py:385-421). O(P log P) host work.
+    point_chip_idx = np.asarray(point_chip_idx)
+    in_range = (point_chip_idx >= 0) & (point_chip_idx < n)
+    sel = np.argsort(point_chip_idx[in_range], kind="stable")
+    sorted_idx = np.nonzero(in_range)[0][sel]
+    ci_sorted = point_chip_idx[sorted_idx]
+    counts = np.bincount(ci_sorted, minlength=n)
+    max_count = int(counts.max()) if counts.size else 0
+    cap = max_points_per_chip
+    if max_count > cap:
+        # NEVER drop observations (the reference stamps every point): grow
+        # the pad to the next power of two so dense label rasters fit, while
+        # bucketing keeps the jitted stamp from recompiling per tile.
+        cap = 1 << (max_count - 1).bit_length()
+    p_rc = np.zeros((n, cap, 2), np.int32)
+    p_lab = np.zeros((n, cap), np.float32)
+    p_valid = np.zeros((n, cap), bool)
+    if sorted_idx.size:
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rank = np.arange(sorted_idx.size, dtype=np.int64) - starts[ci_sorted]
+        x0 = chip_coords[ci_sorted, 0].astype(np.int64) * chip_size
+        y0 = chip_coords[ci_sorted, 1].astype(np.int64) * chip_size
+        p_rc[ci_sorted, rank, 0] = point_rc[sorted_idx, 0] - y0
+        p_rc[ci_sorted, rank, 1] = point_rc[sorted_idx, 1] - x0
+        p_lab[ci_sorted, rank] = point_labels[sorted_idx]
+        p_valid[ci_sorted, rank] = True
 
     stamp = jax.vmap(
         lambda rc, lab, v: stamp_segmentation(

@@ -184,6 +184,56 @@ def test_apply_mask_bit_position_zero():
     assert np.asarray(out)[0, 0, 0, 0] == 9.0
 
 
+def test_process_tile_chips_dense_raster_never_drops():
+    """A dense label raster (every pixel labeled: 1024 points in a 32² chip)
+    exceeds the default 512-point cap; the cap must auto-grow so NO
+    observation is lost (reference stamps every point, dp.py:385-421)."""
+    cs = 32
+    tile = np.full((1, cs, cs), 50.0, np.float32)
+    coords = np.array([[0, 0]], np.int32)
+    rr, cc = np.meshgrid(np.arange(cs), np.arange(cs), indexing="ij")
+    rc = np.stack([rr.ravel(), cc.ravel()], axis=1).astype(np.int64)
+    labels = (rc[:, 0] * cs + rc[:, 1]).astype(np.float32) % 7
+    owner = np.zeros(len(rc), np.int64)
+
+    _, segs, _, sv = process_tile_chips(
+        tile, None, coords, rc, labels, owner, chip_size=cs,
+        no_data_value=0, mask_types=(), masking_strategy="each",
+        window_size=0, max_points_per_chip=512)
+    assert sv.all()
+    np.testing.assert_array_equal(
+        segs[0], labels.reshape(cs, cs).astype(np.int16))
+
+
+def test_process_tile_chips_vectorized_matches_loop_semantics():
+    """Property test: 10k random points across chips (heavily exceeding the
+    cap) reproduce the reference's sequential numpy stamping exactly,
+    including within-chip overwrite order."""
+    rng = np.random.default_rng(7)
+    cs, n_chips_side, n_pts = 16, 2, 10_000
+    h = w = cs * n_chips_side
+    tile = np.full((1, h, w), 3.0, np.float32)
+    coords = np.array([[x, y] for y in range(n_chips_side)
+                       for x in range(n_chips_side)], np.int32)
+    rc = np.stack([rng.integers(0, h, n_pts), rng.integers(0, w, n_pts)],
+                  axis=1).astype(np.int64)
+    labels = rng.integers(0, 9, n_pts).astype(np.float32)
+    owner = np.array([np.nonzero((coords[:, 0] == c // cs)
+                                 & (coords[:, 1] == r // cs))[0][0]
+                      for r, c in rc], np.int64)
+
+    _, segs, _, _ = process_tile_chips(
+        tile, None, coords, rc, labels, owner, chip_size=cs,
+        no_data_value=0, mask_types=(), masking_strategy="each",
+        window_size=0, max_points_per_chip=64)
+
+    # Reference semantics: stamp sequentially, later points overwrite.
+    expected = np.full((len(coords), cs, cs), -1, np.int16)
+    for (r, c), lab, ci in zip(rc, labels, owner):
+        expected[ci, r - coords[ci, 1] * cs, c - coords[ci, 0] * cs] = lab
+    np.testing.assert_array_equal(segs, expected)
+
+
 def test_preprocess_chips_center_crops_to_img_size():
     from instageo_tpu.ops.preprocess import preprocess_chips
 
