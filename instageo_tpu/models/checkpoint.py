@@ -160,6 +160,24 @@ def _linear(params: Dict, sd: Mapping, torch_prefix: str) -> None:
         params["bias"] = sd[f"{torch_prefix}.bias"].astype(np.float32)
 
 
+def _qkv_linear(params: Dict, sd: Mapping, torch_prefix: str,
+                num_heads: int) -> None:
+    """torch fused qkv Linear (3D, D) -> head-structured (D, 3, H, Dh).
+
+    Pure reshape of the transposed torch weight (see models/prithvi.py
+    ``QKVProj``: the head-structured layout is what makes tensor
+    parallelism shard on heads without resharding).
+    """
+    w = sd[f"{torch_prefix}.weight"]
+    d = w.shape[1]
+    params["kernel"] = (
+        w.T.reshape(d, 3, num_heads, -1).astype(np.float32))
+    if f"{torch_prefix}.bias" in sd:
+        params["bias"] = (
+            sd[f"{torch_prefix}.bias"].reshape(3, num_heads, -1)
+            .astype(np.float32))
+
+
 def _layernorm(params: Dict, sd: Mapping, torch_prefix: str) -> None:
     params["scale"] = sd[f"{torch_prefix}.weight"].astype(np.float32)
     params["bias"] = sd[f"{torch_prefix}.bias"].astype(np.float32)
@@ -193,7 +211,8 @@ def vit_params_from_torch(
         blk: Dict = {"norm1": {}, "norm2": {}, "attn": {"qkv": {}, "proj": {}}, "mlp": {"fc1": {}, "fc2": {}}}
         _layernorm(blk["norm1"], sd, f"blocks.{i}.norm1")
         _layernorm(blk["norm2"], sd, f"blocks.{i}.norm2")
-        _linear(blk["attn"]["qkv"], sd, f"blocks.{i}.attn.qkv")
+        _qkv_linear(blk["attn"]["qkv"], sd, f"blocks.{i}.attn.qkv",
+                    arch.num_heads)
         _linear(blk["attn"]["proj"], sd, f"blocks.{i}.attn.proj")
         _linear(blk["mlp"]["fc1"], sd, f"blocks.{i}.mlp.fc1")
         _linear(blk["mlp"]["fc2"], sd, f"blocks.{i}.mlp.fc2")
@@ -289,6 +308,15 @@ def _linear_to_torch(sd: Dict, prefix: str, p: Mapping) -> None:
         sd[f"{prefix}.bias"] = np.asarray(p["bias"])
 
 
+def _qkv_to_torch(sd: Dict, prefix: str, p: Mapping) -> None:
+    """Head-structured qkv (D, 3, H, Dh) -> torch fused Linear (3D, D)."""
+    kernel = np.asarray(p["kernel"])
+    d = kernel.shape[0]
+    sd[f"{prefix}.weight"] = kernel.reshape(d, -1).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"]).reshape(-1)
+
+
 def _layernorm_to_torch(sd: Dict, prefix: str, p: Mapping) -> None:
     sd[f"{prefix}.weight"] = np.asarray(p["scale"])
     sd[f"{prefix}.bias"] = np.asarray(p["bias"])
@@ -316,7 +344,7 @@ def vit_params_to_torch(params: Mapping, arch: PrithviArch,
         blk = params[f"blocks_{i}"]
         _layernorm_to_torch(sd, f"blocks.{i}.norm1", blk["norm1"])
         _layernorm_to_torch(sd, f"blocks.{i}.norm2", blk["norm2"])
-        _linear_to_torch(sd, f"blocks.{i}.attn.qkv", blk["attn"]["qkv"])
+        _qkv_to_torch(sd, f"blocks.{i}.attn.qkv", blk["attn"]["qkv"])
         _linear_to_torch(sd, f"blocks.{i}.attn.proj", blk["attn"]["proj"])
         _linear_to_torch(sd, f"blocks.{i}.mlp.fc1", blk["mlp"]["fc1"])
         _linear_to_torch(sd, f"blocks.{i}.mlp.fc2", blk["mlp"]["fc2"])

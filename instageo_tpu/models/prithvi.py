@@ -28,6 +28,27 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def _tp_constrain(mesh: Optional[Mesh], x: jnp.ndarray,
+                  spec: PartitionSpec) -> jnp.ndarray:
+    """Pin an attention activation's sharding on a device mesh (no-op
+    without one). GSPMD's propagation alone leaves the attention tensors
+    with conflicting sharding choices — under DP + ZeRO-1 scanned steps
+    it invents head-dim shardings for the softmax that it can only
+    reconcile by "involuntary full rematerialization" (round-2 dryrun
+    log) — so the batch dim is pinned to ``data`` and, when a ``model``
+    axis exists (tensor parallelism), the head dim to ``model``. Axis
+    names absent from the mesh are dropped from the spec, so one set of
+    call sites serves DP-only and TP meshes alike."""
+    if mesh is None:
+        return x
+    fixed = PartitionSpec(*[
+        a if (isinstance(a, str) and a in mesh.axis_names
+              and int(mesh.shape[a]) > 1) else None
+        for a in spec])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, fixed))
 
 # ---------------------------------------------------------------------------
 # Sincos positional embeddings (numpy; static per model config)
@@ -219,6 +240,42 @@ class PatchEmbed3D(nn.Module):
         )(x)
 
 
+class QKVProj(nn.Module):
+    """Fused qkv projection with a HEAD-STRUCTURED kernel: (D, 3, H, Dh).
+
+    Numerically identical to timm's fused ``nn.Linear(d, 3d)`` (the kernel
+    is a pure reshape of the torch layout — models/checkpoint.py maps both
+    directions), but the explicit (3, H, Dh) output structure lets tensor
+    parallelism shard the HEAD dimension directly (parallel/tp.py): with a
+    flattened 3·H·Dh output dim, a model-axis shard lands mid-q/k/v and
+    GSPMD can only recover by involuntary full rematerialization of the
+    attention tensors (observed in the round-2 multichip dryrun).
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        shape = (d, 3, self.num_heads, self.head_dim)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            # Sample with Dense's default (lecun_normal on the flattened
+            # (D, 3D) matrix) so from-scratch init matches the fused layer.
+            flat = nn.initializers.lecun_normal()(
+                key, (shape[0], shape[1] * shape[2] * shape[3]), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", kernel_init, shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (3, self.num_heads, self.head_dim), jnp.float32)
+        y = jnp.einsum("bld,dshk->blshk", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (timm ``Block`` attention semantics).
 
@@ -231,6 +288,7 @@ class Attention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    tp_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
@@ -238,10 +296,10 @@ class Attention(nn.Module):
         b, l, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
-        qkv = nn.Dense(
-            3 * d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
-        )(x)
-        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
+        qkv = QKVProj(self.num_heads, head_dim, dtype=self.dtype,
+                      name="qkv")(x)  # (B, L, 3, H, Dh)
+        qkv = _tp_constrain(self.tp_mesh, qkv,
+                            PartitionSpec("data", None, None, "model", None))
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, Dh)
 
         impl = self.attn_impl
@@ -266,9 +324,15 @@ class Attention(nn.Module):
         else:
             scale = head_dim**-0.5
             attn = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
+            attn = _tp_constrain(self.tp_mesh, attn,
+                                 PartitionSpec("data", "model", None, None))
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = _tp_constrain(self.tp_mesh, attn,
+                                 PartitionSpec("data", "model", None, None))
             out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
 
+        out = _tp_constrain(self.tp_mesh, out,
+                            PartitionSpec("data", None, "model", None))
         out = out.reshape(b, l, d)
         return nn.Dense(
             d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
@@ -306,6 +370,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    tp_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
@@ -313,7 +378,8 @@ class Block(nn.Module):
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(
-            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            tp_mesh=self.tp_mesh, name="attn"
         )(y.astype(self.dtype), deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + Mlp(
@@ -404,6 +470,7 @@ class PrithviViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    tp_mesh: Optional[Mesh] = None
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -483,6 +550,7 @@ class PrithviViT(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                tp_mesh=self.tp_mesh,
                 name=f"blocks_{i}",
             )(tokens, deterministic)
 

@@ -133,6 +133,9 @@ class PrithviSeg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    # Tensor-parallel mesh (clone(tp_mesh=...) when tpu.tp>1): activates
+    # the attention sharding constraints in models/prithvi.py.
+    tp_mesh: Optional[Any] = None
 
     def setup(self) -> None:
         arch = get_arch(
@@ -157,6 +160,7 @@ class PrithviSeg(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            tp_mesh=self.tp_mesh,
         )
         if self.embed_dims is not None:
             dims = tuple(self.embed_dims)

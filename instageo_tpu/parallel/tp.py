@@ -19,13 +19,17 @@ The jitted train/eval steps then inherit these shardings from their
 inputs; no step-code changes are needed. Config surface: ``tpu.tp=N``
 (see ``train/trainer.py``).
 
-Known cost: the fused qkv projection's output layout is (3, H, Dh)
-flattened (torch-checkpoint parity), so the column shard does not align
-with the per-head split and GSPMD inserts a reshard at the qkv reshape
-(it warns "involuntary full rematerialization" on the backward of tiny
-test models). Head-major qkv would avoid it but break checkpoint layout
-parity; at Prithvi sequence lengths the reshard is small next to the
-matmuls.
+The qkv kernel is stored head-structured (D, 3, H, Dh) — a pure reshape
+of the torch fused layout (models/prithvi.py ``QKVProj``) — so its model-
+axis shard lands on the HEAD dim. The head sharding then propagates
+through the q/k/v slice, softmax, and the (B, L, H·Dh) merge into the
+row-parallel output projection with no resharding at all: GSPMD's only
+collectives are the two Megatron all-reduces (after attn proj and fc2).
+Round 2 stored qkv flattened (D, 3·H·Dh); the misaligned shard forced
+"involuntary full rematerialization" of the attention tensors on every
+block's backward — the round-3 layout eliminates those (verified by
+grepping the dryrun's GSPMD log; tests/model_tests/test_parallel.py).
+Requires ``tp`` to divide ``num_heads`` (3 of the flat dim never splits).
 """
 
 from __future__ import annotations
@@ -43,10 +47,13 @@ MODEL_AXIS = "model"
 # Param-path suffixes → PartitionSpec. Column-parallel layers shard the
 # output-feature dim (and their bias); row-parallel layers shard the
 # input-feature dim and keep bias replicated (it is added once, after
-# the all-reduce).
-_COLUMN_KERNELS = ("attn/qkv/kernel", "mlp/fc1/kernel")
-_COLUMN_BIASES = ("attn/qkv/bias", "mlp/fc1/bias")
+# the all-reduce). The qkv projection is column-parallel on its HEAD dim
+# (kernel (D, 3, H, Dh), bias (3, H, Dh) — see module docstring).
+_COLUMN_KERNELS = ("mlp/fc1/kernel",)
+_COLUMN_BIASES = ("mlp/fc1/bias",)
 _ROW_KERNELS = ("attn/proj/kernel", "mlp/fc2/kernel")
+_QKV_KERNELS = ("attn/qkv/kernel",)
+_QKV_BIASES = ("attn/qkv/bias",)
 
 
 def make_mesh_2d(tp: int, num_devices: Optional[int] = None) -> Mesh:
@@ -84,6 +91,10 @@ def tp_spec_for_path(path: Tuple) -> P:
         return P(MODEL_AXIS)
     if p.endswith(_ROW_KERNELS):
         return P(MODEL_AXIS, None)
+    if p.endswith(_QKV_KERNELS):
+        return P(None, None, MODEL_AXIS, None)
+    if p.endswith(_QKV_BIASES):
+        return P(None, MODEL_AXIS, None)
     return P()
 
 

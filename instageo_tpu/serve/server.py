@@ -40,6 +40,9 @@ class ModelServer:
         if has_model_axis(self.mesh):
             # tpu.tp>1: serve with tensor-parallel weights — lower
             # latency for the large variants at small serving batches.
+            # (clone carries the mesh for the attention sharding
+            # constraints; see train/trainer.py.)
+            self.model = self.model.clone(tp_mesh=self.mesh)
             self.variables = {
                 **{k: replicate_tree(v, self.mesh)
                    for k, v in self.variables.items() if k != "params"},

@@ -129,6 +129,13 @@ class Trainer:
         from instageo_tpu.parallel.tp import (has_model_axis,
                                               place_state_like_params,
                                               tp_place)
+        if int(self.mesh.devices.size) > 1:
+            # The model clone carries the mesh so the attention body pins
+            # its activations (batch on data; heads on model under TP) —
+            # without it GSPMD invents head-dim shardings in the scanned
+            # ZeRO-1 program and involuntarily rematerializes the softmax
+            # (models/prithvi.py _tp_constrain).
+            self.model = model = model.clone(tp_mesh=self.mesh)
         if has_model_axis(self.mesh):
             # Tensor parallelism (tpu.tp>1): transformer matmuls sharded
             # column/row over the model axis (parallel/tp.py); optimizer
@@ -155,6 +162,8 @@ class Trainer:
         if teacher is not None:
             self._teacher_vars = replicate_tree(teacher[1], self.mesh)
 
+        self._param_shardings = jax.tree.map(lambda a: a.sharding,
+                                             self.state.params)
         self._train_step = self._build_train_step()
         self._train_scan = (self._build_train_scan()
                             if self.steps_per_call > 1 else None)
@@ -227,6 +236,17 @@ class Trainer:
 
         (loss, (logits, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if self.mesh.devices.size > 1:
+            # Pin gradients to the params' shardings (replicated under DP,
+            # column/row under TP). Without this, ZeRO-1's dim0-sharded
+            # optimizer moments back-propagate through the kernel-grad
+            # einsums and GSPMD infects the attention cotangents with
+            # head/feature shardings it can only reconcile by involuntary
+            # full rematerialization (round-2 dryrun log). The moment
+            # resharding then happens where it belongs: inside the cheap
+            # optimizer elementwise update.
+            grads = jax.lax.with_sharding_constraint(
+                grads, self._param_shardings)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = clip_params(params, self.clip_range)

@@ -88,8 +88,8 @@ def test_tp_specs_rules():
     mesh = make_mesh_2d(tp=2)
     assert mesh.shape == {"data": 4, "model": 2}
     params = {"blocks_0": {
-        "attn": {"qkv": {"kernel": jnp.zeros((8, 24)),
-                         "bias": jnp.zeros((24,))},
+        "attn": {"qkv": {"kernel": jnp.zeros((8, 3, 2, 4)),
+                         "bias": jnp.zeros((3, 2, 4))},
                  "proj": {"kernel": jnp.zeros((8, 8)),
                           "bias": jnp.zeros((8,))}},
         "mlp": {"fc1": {"kernel": jnp.zeros((8, 32)),
@@ -100,8 +100,10 @@ def test_tp_specs_rules():
     }}
     placed = tp_place(params, mesh)
     b = placed["blocks_0"]
-    assert b["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
-    assert b["attn"]["qkv"]["bias"].sharding.spec == P("model")
+    # qkv is head-structured (D, 3, H, Dh): the model shard sits on HEADS.
+    assert b["attn"]["qkv"]["kernel"].sharding.spec == P(
+        None, None, "model", None)
+    assert b["attn"]["qkv"]["bias"].sharding.spec == P(None, "model", None)
     assert b["attn"]["proj"]["kernel"].sharding.spec == P("model", None)
     assert b["attn"]["proj"]["bias"].sharding.spec == P()
     assert b["mlp"]["fc1"]["kernel"].sharding.spec == P(None, "model")
@@ -141,7 +143,7 @@ def test_tp_training_matches_dp():
             # TP must actually be active: transformer matmuls sharded.
             qkv = trainer.state.params["prithvi_encoder"]["blocks_0"]["attn"][
                 "qkv"]["kernel"]
-            assert qkv.sharding.spec == P(None, "model")
+            assert qkv.sharding.spec == P(None, None, "model", None)
         step_losses = []
         for step in range(3):
             trainer.state, metrics = trainer._train_step(

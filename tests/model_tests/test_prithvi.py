@@ -95,9 +95,12 @@ def _torch_block(x, p, num_heads):
 
     xt = torch.from_numpy(x)
     h = F.layer_norm(xt, (x.shape[-1],), t(p["norm1"]["scale"]), t(p["norm1"]["bias"]), 1e-5)
-    qkv = h @ t(p["attn"]["qkv"]["kernel"]) + t(p["attn"]["qkv"]["bias"])
-    b, l, _ = qkv.shape
+    # Our qkv kernel is head-structured (D, 3, H, Dh); torch's fused Linear
+    # view is the flattened (D, 3D) matrix.
     d = x.shape[-1]
+    qkv = (h @ t(p["attn"]["qkv"]["kernel"]).reshape(d, -1)
+           + t(p["attn"]["qkv"]["bias"]).reshape(-1))
+    b, l, _ = qkv.shape
     qkv = qkv.reshape(b, l, 3, num_heads, d // num_heads).permute(2, 0, 3, 1, 4)
     attn_out = F.scaled_dot_product_attention(qkv[0], qkv[1], qkv[2])
     attn_out = attn_out.transpose(1, 2).reshape(b, l, d)

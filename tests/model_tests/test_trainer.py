@@ -194,18 +194,21 @@ def test_regression_eval_collects_predictions_one_forward():
     y = (x[:, 0, 0] * 2.0 + 1.0).astype(np.float32)
     y[0, :4, :4] = float(trainer.ignore_index)  # some invalid px
     n_apply = 0
-    orig_apply = model.apply
+    # Spy on trainer.model (the trainer clones the model on multi-device
+    # meshes to attach the sharding-constraint mesh).
+    spied = trainer.model
+    orig_apply = spied.apply
 
     def counting_apply(*a, **k):
         nonlocal n_apply
         n_apply += 1
         return orig_apply(*a, **k)
 
-    model.apply = counting_apply
+    object.__setattr__(spied, "apply", counting_apply)
     trainer._eval_step = trainer._build_eval_step()  # rebuild over the spy
     out = trainer.run_eval_epoch(_loader(x, y, 8)(), 8, "test",
                                  collect_outputs=True)
-    model.apply = orig_apply
+    object.__setattr__(spied, "apply", orig_apply)
     assert n_apply == 1  # traced once; no second un-jitted forward
     assert "_preds" in out and "_labels" in out
     n_valid = int((y != float(trainer.ignore_index)).sum())

@@ -177,7 +177,7 @@ def test_tp_serving_matches_replicated(trained_world, tmp_path):
         if tp > 1:
             qkv = pipe.server.variables["params"]["prithvi_encoder"][
                 "blocks_0"]["attn"]["qkv"]["kernel"]
-            assert qkv.sharding.spec == P(None, "model")
+            assert qkv.sharding.spec == P(None, None, "model", None)
         outs[name] = {
             p.name: GeoTiffReader(str(p)).read()
             for p in sorted(out_dir.glob("prediction_*.tif"))
