@@ -1,0 +1,131 @@
+"""Real-checkpoint load-path integration test (VERDICT r2 #4).
+
+Exercises the FULL pretrained-weight pipeline exactly as a production run
+would hit it — ``load_torch_file -> filter_checkpoint_vit (band surgery,
+wrapper unwrap, MAE-decoder strip) -> vit_params_from_torch`` — and then
+compares encoder activations between our Flax forward and the torch
+replica fed the SAME surgically-filtered weights.
+
+Two tiers:
+  * the synthetic tier always runs in CI against a replica-generated
+    ``.pt`` with the real Prithvi file structure (MAE wrapper key, decoder
+    keys, mask_token, 6->5-band surgery);
+  * the real tier activates when ``PRITHVI_CKPT_PATH`` points at an actual
+    Prithvi checkpoint (the reference downloads ``Prithvi_EO_V1_100M.pt``
+    from HuggingFace — model.py:229-248; this image has no egress, so the
+    gate is the reference's own ``auth``-marker pattern,
+    tests_and_linters.yaml:54). Run it on a connected machine with:
+
+        PRITHVI_CKPT_PATH=/path/to/Prithvi_EO_V1_100M.pt \
+            python -m pytest tests/model_tests/test_real_checkpoint.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instageo_tpu.models.checkpoint import (
+    filter_checkpoint_vit,
+    load_torch_file,
+    vit_params_from_torch,
+)
+from instageo_tpu.models.prithvi import PrithviViT
+from instageo_tpu.models.registry import PRETRAINED_BANDS, get_arch
+
+from tests.model_tests.torch_ref import make_vit_state_dict, vit_forward
+
+
+def _verify_checkpoint(path, arch, model_bands, img_size, atol=2e-4):
+    """Full load path on ``path`` + activation parity vs the torch replica.
+
+    Returns (our_tokens, torch_tokens) numpy arrays for extra assertions.
+    """
+    import torch
+
+    sd = load_torch_file(path)
+    clean = filter_checkpoint_vit(sd, arch, PRETRAINED_BANDS, model_bands)
+    params = vit_params_from_torch(sd, arch, PRETRAINED_BANDS, model_bands)
+
+    model = PrithviViT(
+        img_size=img_size,
+        patch_size=tuple(arch.patch_size),
+        num_frames=arch.num_frames,
+        in_chans=len(model_bands),
+        embed_dim=arch.embed_dim,
+        depth=arch.depth,
+        num_heads=arch.num_heads,
+        mlp_ratio=arch.mlp_ratio,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, len(model_bands), arch.num_frames,
+                         img_size, img_size)).astype(np.float32)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+    ref = vit_forward(
+        torch.from_numpy(x), clean,
+        patch_size=tuple(arch.patch_size), embed_dim=arch.embed_dim,
+        depth=arch.depth, num_heads=arch.num_heads).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-4)
+    return ours, ref
+
+
+def test_checkpoint_load_path_synthetic(tmp_path):
+    """Replica-generated .pt with the REAL Prithvi file anatomy: MAE
+    'model' wrapper, decoder_* keys, mask_token, and a 6->5 band surgery
+    (drops SWIR2), all of which the loader must strip/select."""
+    import torch
+
+    arch = get_arch("prithvi_eo_tiny", in_chans=6, num_frames=1, img_size=32)
+    rng = np.random.default_rng(3)
+    sd = make_vit_state_dict(rng, patch_size=tuple(arch.patch_size),
+                             in_chans=6, embed_dim=arch.embed_dim,
+                             depth=arch.depth)
+    # Real-file extras the filter must remove (utils.py:271-315 semantics).
+    sd["mask_token"] = np.zeros((1, 1, arch.embed_dim), np.float32)
+    sd["pos_embed"] = np.zeros((1, 5, arch.embed_dim), np.float32)
+    sd["decoder_embed.weight"] = np.zeros((8, arch.embed_dim), np.float32)
+    sd["decoder_embed.bias"] = np.zeros((8,), np.float32)
+    path = tmp_path / "synthetic_prithvi.pt"
+    torch.save({"model_state_dict": {k: torch.from_numpy(np.asarray(v))
+                                     for k, v in sd.items()}}, str(path))
+
+    model_bands = [b for b in PRETRAINED_BANDS if b != "B12"]  # band surgery
+    arch5 = get_arch("prithvi_eo_tiny", in_chans=len(model_bands),
+                     num_frames=1, img_size=32)
+    _verify_checkpoint(str(path), arch5, model_bands, img_size=32)
+
+
+def test_checkpoint_load_path_synthetic_no_surgery(tmp_path):
+    """Same pipeline with matching bands (the common fine-tune config)."""
+    import torch
+
+    arch = get_arch("prithvi_eo_tiny", in_chans=6, num_frames=1, img_size=32)
+    rng = np.random.default_rng(4)
+    sd = make_vit_state_dict(rng, patch_size=tuple(arch.patch_size),
+                             in_chans=6, embed_dim=arch.embed_dim,
+                             depth=arch.depth)
+    path = tmp_path / "synthetic_plain.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(path))
+    _verify_checkpoint(str(path), arch, list(PRETRAINED_BANDS), img_size=32)
+
+
+@pytest.mark.skipif(not os.environ.get("PRITHVI_CKPT_PATH"),
+                    reason="PRITHVI_CKPT_PATH not set (no real Prithvi "
+                           "weights in this environment)")
+def test_real_prithvi_checkpoint():
+    """The real thing: Prithvi-EO-V1-100M weights through the full load
+    path, encoder activations checked against the torch replica at 224px,
+    T=3, all six HLS bands (the reference's fine-tuning configuration)."""
+    path = os.environ["PRITHVI_CKPT_PATH"]
+    arch = get_arch("prithvi_eo_v1_100", in_chans=6, num_frames=3,
+                    img_size=224)
+    ours, ref = _verify_checkpoint(path, arch, list(PRETRAINED_BANDS),
+                                   img_size=224, atol=5e-4)
+    # Real weights produce structured activations, not noise.
+    assert float(np.abs(ours).mean()) > 1e-3
