@@ -156,6 +156,8 @@ def bench_train(platform: str) -> dict:
         "train.ignore_index": -1,
         "tpu.precision": "bf16",
         "tpu.steps_per_call": spc,
+        # A/B knob for the dropout PRNG (auto = rbg on TPU).
+        "tpu.rng_impl": os.environ.get("BENCH_RNG_IMPL", "auto"),
     })
     model, variables = create_model(cfg)
     trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
@@ -164,7 +166,10 @@ def bench_train(platform: str) -> dict:
     y = rng.integers(0, 2, size=(batch, 224, 224)).astype(np.int32)
     xd, yd = trainer._prepare(x, y, batch)
     metrics0 = EpochMetrics.empty(trainer.num_classes)
-    key = jax.random.PRNGKey(0)
+    # Same dropout-key path as run_train_epoch: converts to the configured
+    # PRNG impl (rbg on TPU — hardware RngBitGenerator; the threefry mask
+    # generation was half the decoder's training cost, PERF.md).
+    key = trainer._epoch_rng(jax.random.PRNGKey(0))
 
     # Time the pure device step on device-resident batches (state is
     # donated and re-threaded). Production training overlaps host
@@ -217,6 +222,17 @@ def main() -> None:
     platform = devices[0].platform
     peak = _peak_flops(devices[0])
     mode = os.environ.get("BENCH_MODE", "all")
+
+    if mode == "train":  # train-only probe (dev loop; headline stays infer)
+        tr = bench_train(platform)
+        print(json.dumps({
+            "train_chips_per_sec": round(tr["chips_per_sec"], 2),
+            "train_step_ms": round(tr["step_ms"], 1),
+            "train_step_ms_range": [round(tr["step_ms_min"], 1),
+                                    round(tr["step_ms_max"], 1)],
+            "train_mfu": (round(tr["flops_per_sec"] / peak, 4)
+                          if peak else None)}))
+        return
 
     inf = bench_inference(platform)
     out = {

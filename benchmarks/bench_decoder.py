@@ -129,10 +129,11 @@ def time_fn(fn, *args, iters=6):
 
 
 def bench_variant(name, batch):
-    if name == "nchw":
+    base = name.split("+")[0]
+    if base == "nchw":
         model = DecoderNCHW()
     else:
-        model = DecoderVariant(variant=name)
+        model = DecoderVariant(variant=base)
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch, 14, 14, 768)).astype(np.float32)).astype(jnp.bfloat16)
@@ -140,10 +141,17 @@ def bench_variant(name, batch):
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
 
+    # "rbg" variants use the TPU-native RngBitGenerator PRNG for the
+    # dropout mask instead of software threefry (the `nodrop` ablation
+    # showed mask generation dominates the decoder's cost).
+    def _key():
+        return (jax.random.key(0, impl="rbg") if name.endswith("+rbg")
+                else jax.random.PRNGKey(0))
+
     @jax.jit
     def fwd(params, x, salt):
         out = model.apply({"params": params, **extra}, x + salt, train=True,
-                          rngs={"dropout": jax.random.PRNGKey(0)},
+                          rngs={"dropout": _key()},
                           mutable=list(extra.keys()))[0]
         return out.astype(jnp.float32).sum()
 
@@ -151,7 +159,7 @@ def bench_variant(name, batch):
     def fwdbwd(params, x, salt):
         def loss(p, x):
             out = model.apply({"params": p, **extra}, x + salt, train=True,
-                              rngs={"dropout": jax.random.PRNGKey(0)},
+                              rngs={"dropout": _key()},
                               mutable=list(extra.keys()))[0]
             return (out.astype(jnp.float32) ** 2).mean()
 

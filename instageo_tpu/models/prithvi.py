@@ -340,19 +340,32 @@ class Attention(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP: Dense -> exact GELU -> Dense (timm ``Mlp``)."""
+    """Transformer MLP: Dense -> GELU -> Dense (timm ``Mlp``).
+
+    ``gelu`` selects the activation lowering (PERF.md "Tried: cheaper
+    GELU"): ``exact`` (erf in f32 — timm activation parity, the default),
+    ``tanh`` (f32 tanh approximation, ~3% faster inference), ``bf16``
+    (exact erf without the f32 round-trip, ~3%). The cheap forms are
+    opt-in for serving-throughput-bound deployments via ``tpu.gelu``.
+    """
 
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(
             self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1"
         )(x)
-        # timm uses nn.GELU() (exact erf form), not the tanh approximation.
-        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
+        if self.gelu == "tanh":
+            x = jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(self.dtype)
+        elif self.gelu == "bf16":
+            x = jax.nn.gelu(x, approximate=False)
+        else:
+            # timm uses nn.GELU() (exact erf form), not the tanh approximation.
+            x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
         return nn.Dense(
             self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2"
         )(x)
@@ -371,6 +384,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     tp_mesh: Optional[Mesh] = None
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
@@ -383,7 +397,8 @@ class Block(nn.Module):
         )(y.astype(self.dtype), deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + Mlp(
-            int(d * self.mlp_ratio), d, dtype=self.dtype, name="mlp"
+            int(d * self.mlp_ratio), d, dtype=self.dtype, gelu=self.gelu,
+            name="mlp"
         )(y.astype(self.dtype))
         return x
 
@@ -471,6 +486,7 @@ class PrithviViT(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     tp_mesh: Optional[Mesh] = None
+    gelu: str = "exact"
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -551,6 +567,7 @@ class PrithviViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 tp_mesh=self.tp_mesh,
+                gelu=self.gelu,
                 name=f"blocks_{i}",
             )(tokens, deterministic)
 

@@ -133,6 +133,7 @@ class PrithviSeg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    gelu: str = "exact"
     # Tensor-parallel mesh (clone(tp_mesh=...) when tpu.tp>1): activates
     # the attention sharding constraints in models/prithvi.py.
     tp_mesh: Optional[Any] = None
@@ -160,6 +161,7 @@ class PrithviSeg(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            gelu=self.gelu,
             tp_mesh=self.tp_mesh,
         )
         if self.embed_dims is not None:
@@ -234,6 +236,7 @@ def create_prithvi_seg(
     dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "xla",
     remat: bool = False,
+    gelu: str = "exact",
 ) -> PrithviSeg:
     """Factory mirroring the reference ``PrithviSeg(...)`` constructor surface."""
     if variant not in PRITHVI_ARCHS:
@@ -248,4 +251,5 @@ def create_prithvi_seg(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        gelu=gelu,
     )

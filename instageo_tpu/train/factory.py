@@ -47,6 +47,7 @@ def build_model(cfg: Any) -> PrithviSeg:
         dtype=_dtype_from_cfg(cfg),
         attn_impl=str((cfg.get("tpu") or {}).get("attn_impl", "xla")),
         remat=bool((cfg.get("tpu") or {}).get("remat", False)),
+        gelu=str((cfg.get("tpu") or {}).get("gelu", "exact")),
     )
 
 

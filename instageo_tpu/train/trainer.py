@@ -114,6 +114,10 @@ class Trainer:
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
         self.steps_per_call = max(1, int(tpu_cfg.get("steps_per_call", 1)))
+        rng_impl = str(tpu_cfg.get("rng_impl", "auto"))
+        if rng_impl == "auto":
+            rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+        self._rng_impl = rng_impl
 
         self.tx = make_optimizer(
             variables["params"],
@@ -352,8 +356,25 @@ class Trainer:
         x, y = self._prepare_host(x, y, batch_size)
         return self._shard(x, y)
 
+    def _epoch_rng(self, rng: jax.Array) -> jax.Array:
+        """Re-key the epoch's dropout stream onto the configured PRNG.
+
+        ``rbg`` lowers to the TPU's native RngBitGenerator instead of
+        software threefry: mask generation for the decoder's five
+        full-resolution dropouts dominates its training cost under
+        threefry (decoder fwd+bwd 108.9 -> 85.2 ms at b=64 — PERF.md,
+        bench_decoder.py). Deterministic per seed, like any PRNG choice;
+        the stream simply differs between impls (dropout masks never
+        matched torch bit-for-bit anyway).
+        """
+        if self._rng_impl == "threefry":
+            return rng
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+        return jax.random.key(seed, impl=self._rng_impl)
+
     def run_train_epoch(self, batches: Iterable, rng: jax.Array,
                         batch_size: int) -> Dict:
+        rng = self._epoch_rng(rng)
         metrics = EpochMetrics.empty(self.num_classes)
         if self._train_scan is None:
             for i, (x, y) in enumerate(batches):

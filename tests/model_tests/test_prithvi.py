@@ -181,3 +181,19 @@ def test_tl_variant_has_scale_params():
     lc = jnp.asarray([[10.0, 20.0]])
     withc = mod.apply(params, x, temporal_coords=tc, location_coords=lc)
     assert not np.allclose(np.asarray(base), np.asarray(withc))
+
+
+def test_gelu_variants_close_to_exact():
+    """tpu.gelu serving knobs (tanh/bf16) stay within activation-level
+    tolerance of the exact-erf default on realistic magnitudes."""
+    from instageo_tpu.models.prithvi import Mlp
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 10, 32)).astype(np.float32))
+    exact = Mlp(64, 32, dtype=jnp.bfloat16, gelu="exact")
+    variables = exact.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(exact.apply(variables, x), np.float32)
+    for impl in ("tanh", "bf16"):
+        out = np.asarray(Mlp(64, 32, dtype=jnp.bfloat16, gelu=impl).apply(
+            variables, x), np.float32)
+        np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)

@@ -214,3 +214,21 @@ def test_regression_eval_collects_predictions_one_forward():
     n_valid = int((y != float(trainer.ignore_index)).sum())
     assert out["_preds"].shape == out["_labels"].shape == (n_valid,)
     assert np.isfinite(out["_preds"]).all()
+
+
+def test_rng_impl_rbg_deterministic():
+    """tpu.rng_impl=rbg (the TPU-native dropout PRNG) trains finite and is
+    deterministic per seed; threefry and rbg are both accepted streams."""
+    losses = {}
+    for impl in ("rbg", "rbg_again", "threefry"):
+        cfg = _cfg(**{"tpu.rng_impl": impl.replace("_again", "")})
+        model, variables = create_model(cfg)
+        trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+        assert trainer._rng_impl == impl.replace("_again", "")
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+        y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
+        m = trainer.run_train_epoch(iter([(x, y)]), jax.random.PRNGKey(7), 8)
+        assert np.isfinite(m["train_loss"])
+        losses[impl] = m["train_loss"]
+    assert losses["rbg"] == losses["rbg_again"]  # deterministic per seed
