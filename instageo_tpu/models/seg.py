@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -37,6 +38,38 @@ from instageo_tpu.models.registry import (
 
 # torch's default conv init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
 _conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class TPUDropout(nn.Module):
+    """Dropout with a fused TPU kernel path (ops/dropout.py).
+
+    ``impl=pallas`` generates the mask with the core-local PRNG inside
+    one VMEM pass (ops/dropout.py). MEASURED SLOWER in the full train
+    step (517.8 vs 373.8 ms at b=128 — PERF.md round 3): the pallas_call
+    is a fusion barrier, so the ConvT output and the mask round-trip HBM
+    that XLA's fused rbg dropout never touches. Default is therefore the
+    XLA path with rbg keys (tpu.rng_impl); the kernel stays for
+    kernel-level use and future fused-stage work. Same semantics either
+    way: drop rate ``p``, kept values scaled by 1/(1-p).
+    ``impl``: xla (default) | pallas.
+    """
+
+    rate: float
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        from instageo_tpu.ops.dropout import (fused_dropout,
+                                              supports_fused_dropout)
+
+        if self.impl != "pallas" or not supports_fused_dropout(x):
+            return nn.Dropout(self.rate, deterministic=False)(x)
+        key = self.make_rng("dropout")
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(key, (), jnp.uint32), jnp.int32)
+        return fused_dropout(x, seed, float(self.rate))
 
 
 class ConvTranspose2dTorch(nn.Module):
@@ -90,11 +123,13 @@ class UpscalingBlock(nn.Module):
     conv_kernel: int = 3
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    dropout_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvTranspose2dTorch(self.features, dtype=self.dtype, name="convt")(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = TPUDropout(self.dropout_rate, impl=self.dropout_impl)(
+            x, deterministic=not train)
         x = nn.Conv(
             self.features,
             (self.conv_kernel, self.conv_kernel),
@@ -134,6 +169,7 @@ class PrithviSeg(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     gelu: str = "exact"
+    dropout_impl: str = "xla"
     # Tensor-parallel mesh (clone(tp_mesh=...) when tpu.tp>1): activates
     # the attention sharding constraints in models/prithvi.py.
     tp_mesh: Optional[Any] = None
@@ -175,11 +211,12 @@ class PrithviSeg(nn.Module):
         kernels = SEG_HEAD_KERNEL_SIZES[self.variant]
         self.up_blocks = [
             UpscalingBlock(
-                dims[i + 1], conv_kernel=kernels[i], dtype=self.dtype, name=f"up_{i}"
+                dims[i + 1], conv_kernel=kernels[i], dtype=self.dtype,
+                dropout_impl=self.dropout_impl, name=f"up_{i}"
             )
             for i in range(4)
         ]
-        self.head_dropout = nn.Dropout(0.1)
+        self.head_dropout = TPUDropout(0.1, impl=self.dropout_impl)
         self.head_conv = nn.Conv(
             self.num_classes,
             (1, 1),

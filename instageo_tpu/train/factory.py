@@ -48,6 +48,7 @@ def build_model(cfg: Any) -> PrithviSeg:
         attn_impl=str((cfg.get("tpu") or {}).get("attn_impl", "xla")),
         remat=bool((cfg.get("tpu") or {}).get("remat", False)),
         gelu=str((cfg.get("tpu") or {}).get("gelu", "exact")),
+        dropout_impl=str((cfg.get("tpu") or {}).get("dropout_impl", "xla")),
     )
 
 
