@@ -103,6 +103,8 @@ def bench_inference(platform: str) -> dict:
         image_size=224, num_bands=6, dtype=jnp.bfloat16,
         # XLA attention wins at this batch size (~1.3x vs the Pallas
         # kernel); attn_impl="pallas" is better for low-latency serving.
+        # BENCH_GELU=tanh|bf16 probes the serving-side tpu.gelu knob.
+        gelu=os.environ.get("BENCH_GELU", "exact"),
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32))

@@ -280,7 +280,8 @@ def _train_teacher(x, y, steps, batch, lr):
             seg_variables_to_torch(variables, arch, prefix=""))
 
 
-def main(task, steps, batch=8, eval_every=None, lr=1e-3):
+def main(task, steps, batch=8, eval_every=None, lr=1e-3,
+         check_bars=True):
     eval_every = eval_every or max(steps // 5, 1)
     t0 = time.time()
     if task == "crop":
@@ -328,12 +329,13 @@ def main(task, steps, batch=8, eval_every=None, lr=1e-3):
               "delta": abs(jf - tf), "tolerance": tol,
               "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(report, indent=1))
-    if higher_better:
-        assert jf >= min_bar, f"jax {metric} {jf} < {min_bar}"
-        assert tf >= min_bar, f"torch {metric} {tf} < {min_bar}"
-    else:
-        assert jf <= min_bar, f"jax {metric} {jf} > {min_bar}"
-        assert tf <= min_bar, f"torch {metric} {tf} > {min_bar}"
+    if check_bars:
+        if higher_better:
+            assert jf >= min_bar, f"jax {metric} {jf} < {min_bar}"
+            assert tf >= min_bar, f"torch {metric} {tf} < {min_bar}"
+        else:
+            assert jf <= min_bar, f"jax {metric} {jf} > {min_bar}"
+            assert tf <= min_bar, f"torch {metric} {tf} > {min_bar}"
     assert abs(jf - tf) <= tol, f"diverged: jax {jf:.4f} vs torch {tf:.4f}"
     return report
 

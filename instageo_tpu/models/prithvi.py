@@ -240,6 +240,45 @@ class PatchEmbed3D(nn.Module):
         )(x)
 
 
+class LayerNormTPU(nn.Module):
+    """LayerNorm with the feature reduction expressed as a matmul.
+
+    The encoder's 24+1 LayerNorms totalled ~100 ms of the 278 ms b=512
+    inference step (round-3 trace): XLA lowers the minor-dim mean/var
+    reduction to cross-lane VPU work. A dot with a ones vector runs the
+    same reduction on the MXU (~2.4 ms faster per LN at (512,197,768),
+    PERF.md) with IDENTICAL numerics to ``nn.LayerNorm`` (f32 compute,
+    E[x²]−E[x]² fast variance — measured max diff 0.0). Param names match
+    ``nn.LayerNorm`` ("scale"/"bias") so checkpoints are unaffected.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, matmul: bool = True) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if matmul:
+            ones = jnp.ones((d, 1), jnp.float32)
+            dn = (((xf.ndim - 1,), (0,)), ((), ()))
+            s1 = jax.lax.dot_general(xf, ones, dn,
+                                     preferred_element_type=jnp.float32)
+            s2 = jax.lax.dot_general(xf * xf, ones, dn,
+                                     preferred_element_type=jnp.float32)
+            mu = s1 / d
+            var = s2 / d - mu * mu
+        else:
+            # Inference-only graphs fuse better with the plain reduction
+            # (the N=1 dots split XLA's LN+consumer fusions; measured
+            # 1618 -> 1542 chips/s infer — PERF.md); training gains from
+            # the MXU form on the fwd+bwd pair.
+            mu = xf.mean(axis=-1, keepdims=True)
+            var = (xf * xf).mean(axis=-1, keepdims=True) - mu * mu
+        return (xf - mu) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 class QKVProj(nn.Module):
     """Fused qkv projection with a HEAD-STRUCTURED kernel: (D, 3, H, Dh).
 
@@ -307,15 +346,11 @@ class Attention(nn.Module):
             # Batch size is static under jit, so the choice binds per
             # compiled program: the Pallas kernel wins ~2.7x at small
             # batch (latency serving); XLA's fused attention wins ~1.27x
-            # from b≈128 (PERF.md measured crossover). Inference-only:
-            # the Pallas kernel has no autodiff rule, so a training
-            # (non-deterministic) forward must stay on the XLA path or
-            # jax.grad fails at trace time.
-            impl = "pallas" if (deterministic and b <= 16) else "xla"
-        # Training forwards always use the XLA path: the Pallas kernel
-        # has no autodiff rule, so differentiating through it fails at
-        # trace time even when explicitly requested.
-        use_pallas = (impl == "pallas" and deterministic
+            # from b≈128 (PERF.md measured crossover).
+            impl = "pallas" if b <= 16 else "xla"
+        # The kernel is differentiable since round 3 (flash backward via
+        # custom_vjp, ops/attention.py) so training forwards may use it.
+        use_pallas = (impl == "pallas"
                       and jax.default_backend() == "tpu")
         if use_pallas:
             from instageo_tpu.ops.attention import flash_attention
@@ -390,12 +425,12 @@ class Block(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
                  ) -> jnp.ndarray:
         d = x.shape[-1]
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        y = LayerNormTPU(epsilon=1e-5, name="norm1")(x, not deterministic)
         x = x + Attention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             tp_mesh=self.tp_mesh, name="attn"
         )(y.astype(self.dtype), deterministic)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        y = LayerNormTPU(epsilon=1e-5, name="norm2")(x, not deterministic)
         x = x + Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, gelu=self.gelu,
             name="mlp"
@@ -571,5 +606,5 @@ class PrithviViT(nn.Module):
                 name=f"blocks_{i}",
             )(tokens, deterministic)
 
-        tokens = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(tokens)
+        tokens = LayerNormTPU(epsilon=1e-5, name="norm")(tokens, not deterministic)
         return tokens

