@@ -49,7 +49,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     o_ref[0] = (out / denom).astype(o_ref.dtype)
     # Row logsumexp, the only residual the backward needs beyond q/k/v/o.
-    lse_ref[0] = (m + jnp.log(denom))[:, 0]
+    # Kept (BLOCK_Q, 1): TPU block shapes need the last two dims (8k, 128m)
+    # or equal to the array's, so lse is (B·H, L_pad, 1).
+    lse_ref[0] = m + jnp.log(denom)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
@@ -63,7 +65,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     v = v_ref[0].astype(jnp.float32)     # (L_pad, D)
     o = o_ref[0].astype(jnp.float32)     # (BLOCK_Q, D)
     do = do_ref[0].astype(jnp.float32)   # (BLOCK_Q, D)
-    lse = lse_ref[0].astype(jnp.float32)  # (BLOCK_Q,)
+    lse = lse_ref[0].astype(jnp.float32)  # (BLOCK_Q, 1)
 
     s = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())),
@@ -72,7 +74,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     if l_pad != seq_len:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < seq_len, s, -jnp.inf)
-    p = jnp.exp(s - lse[:, None])        # exact softmax probs (rows of P)
+    p = jnp.exp(s - lse)                 # exact softmax probs (rows of P)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -130,13 +132,13 @@ def _flash_fwd_impl(q, k, v, interpret):
         functools.partial(_attn_kernel, scale=scale, seq_len=l),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, l_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, l_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, l_pad, 1), jnp.float32),
         ],
         grid=grid,
         in_specs=[qblock, kvblock, kvblock],
         out_specs=[
             qblock,
-            pl.BlockSpec((1, BLOCK_Q), lambda bh, i: (bh, i),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
@@ -189,7 +191,7 @@ def _flash_bwd(interpret, residuals, g):
         grid=grid,
         in_specs=[
             qblock, kvblock, kvblock, qblock, qblock,
-            pl.BlockSpec((1, BLOCK_Q), lambda bh, i: (bh, i),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[qblock, kvblock, kvblock],
