@@ -115,8 +115,11 @@ def bench_inference(platform: str) -> dict:
     def infer(variables, x, salt):
         # `salt` makes each timed iteration a distinct computation and the
         # checksum forces full materialization through the device tunnel.
-        logits = model.apply(variables, x + salt, train=False)
-        preds = jnp.argmax(logits, axis=1).astype(jnp.int8)
+        # Serving-realistic path: NHWC logits, argmax at -1 (matches
+        # serve/infer.py; end-to-end equal to the NCHW form, PERF.md).
+        logits = model.apply(variables, x + salt, train=False,
+                             channels_last=True)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int8)
         return preds.astype(jnp.int32).sum()
 
     flops = _step_flops(infer, variables, x, jnp.zeros((), jnp.float32))

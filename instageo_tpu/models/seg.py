@@ -233,6 +233,7 @@ class PrithviSeg(nn.Module):
         return_features: bool = False,
         temporal_coords: Optional[jnp.ndarray] = None,
         location_coords: Optional[jnp.ndarray] = None,
+        channels_last: bool = False,
     ) -> Any:
         tokens = self.prithvi_encoder(
             img, temporal_coords=temporal_coords,
@@ -255,6 +256,12 @@ class PrithviSeg(nn.Module):
         x = self.head_dropout(x, deterministic=not train)
         logits = self.head_conv(x)
 
+        if channels_last:
+            # Serving-side option: return NHWC logits directly (consumers
+            # use axis=-1). The trace bills the NCHW transpose ~10 ms at
+            # b=512 but XLA overlaps it — end-to-end A/B was flat
+            # (PERF.md); kept because serving consumers don't need NCHW.
+            return logits.astype(jnp.float32)
         logits = logits.astype(jnp.float32).transpose(0, 3, 1, 2)  # NHWC -> NCHW
         if return_features:
             features_nchw = feature_map.astype(jnp.float32).transpose(0, 3, 1, 2)

@@ -77,9 +77,11 @@ def make_fused_predict_fn(model, variables, mean, std, *,
                              bands=bands_t,
                              constant_multiplier=constant_multiplier,
                              img_size=img_size)
-        logits = model.apply(variables, x, train=False)
+        # channels_last: NHWC logits (no NCHW transpose; end-to-end
+        # neutral, see models/seg.py); class dim at axis=-1.
+        logits = model.apply(variables, x, train=False, channels_last=True)
         if is_reg_task:
-            return logits[:, 0].astype(jnp.float32)
-        return jnp.argmax(logits, axis=1).astype(jnp.int8)
+            return logits[..., 0].astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
     return predict

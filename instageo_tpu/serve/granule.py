@@ -43,14 +43,14 @@ def _predict_tile_batch(model, variables, tile, coords_batch, mean, std, *,
     x = preprocess_chips(chips, mean, std, temporal_size=temporal_size,
                          bands=bands,
                          constant_multiplier=constant_multiplier)
-    logits = model.apply(variables, x, train=False)
+    logits = model.apply(variables, x, train=False, channels_last=True)
     # Pixels with no input data in ANY band get the output nodata value
     # (-1 for seg, NaN for reg) instead of a confident prediction.
     no_data = (chips == no_data_value).all(axis=1)
     if is_reg_task:
-        preds = logits[:, 0].astype(jnp.float32)
+        preds = logits[..., 0].astype(jnp.float32)
         return jnp.where(no_data, jnp.nan, preds)
-    preds = jnp.argmax(logits, axis=1).astype(jnp.int8)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int8)
     return jnp.where(no_data, jnp.int8(-1), preds)
 
 

@@ -62,12 +62,14 @@ def make_predict_fn(model: Any, variables: Dict, is_reg_task: bool = False,
 
     @jax.jit
     def predict(x):
-        logits = model.apply(variables, x, train=False)
+        # channels_last skips the NCHW output transpose (serving fast
+        # path, see models/seg.py); class dim is axis=-1 here.
+        logits = model.apply(variables, x, train=False, channels_last=True)
         if is_reg_task:
-            return logits[:, 0].astype(jnp.float32)
+            return logits[..., 0].astype(jnp.float32)
         if probabilities:
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=1)[:, 1]
-        return jnp.argmax(logits, axis=1).astype(jnp.int8)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
     return predict
 
