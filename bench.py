@@ -13,7 +13,9 @@ device count divided by that target.
 
 Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH,
 BENCH_STEPS_PER_CALL (train steps chained per jitted call), BENCH_MODE
-(``all``|``infer``).
+(``all``|``infer``|``train``), BENCH_MODEL (registry variant, default
+prithvi_eo_v1_100), BENCH_REMAT=1 (per-block remat), BENCH_DROPOUT_IMPL
+(xla|bits16|bits8|pallas), BENCH_RNG_IMPL, BENCH_GELU.
 """
 
 import json
@@ -99,7 +101,10 @@ def bench_inference(platform: str) -> dict:
     batch = int(os.environ.get("BENCH_BATCH",
                                512 if platform == "tpu" else 8))
     model = create_prithvi_seg(
-        "prithvi_eo_v1_100", num_classes=2, temporal_step=1,
+        # BENCH_MODEL probes other registry variants (e.g. the V2-300M the
+        # reference's crop benchmarks use); the headline stays V1-100M.
+        os.environ.get("BENCH_MODEL", "prithvi_eo_v1_100"),
+        num_classes=2, temporal_step=1,
         image_size=224, num_bands=6, dtype=jnp.bfloat16,
         # XLA attention wins at this batch size (~1.3x vs the Pallas
         # kernel); attn_impl="pallas" is better for low-latency serving.
@@ -155,7 +160,10 @@ def bench_train(platform: str) -> dict:
     cfg = load_config("config", overrides={
         "dataloader.img_size": 224,
         "dataloader.bands": [0, 1, 2, 3, 4, 5],
-        "model.model_name": "prithvi_eo_v1_100",
+        "model.model_name": os.environ.get("BENCH_MODEL",
+                                           "prithvi_eo_v1_100"),
+        "tpu.remat": os.environ.get("BENCH_REMAT", "0") == "1",
+        "tpu.dropout_impl": os.environ.get("BENCH_DROPOUT_IMPL", "xla"),
         "model.load_pretrained_weights": False,
         "train.batch_size": batch,
         "train.ignore_index": -1,

@@ -51,7 +51,17 @@ class TPUDropout(nn.Module):
     XLA path with rbg keys (tpu.rng_impl); the kernel stays for
     kernel-level use and future fused-stage work. Same semantics either
     way: drop rate ``p``, kept values scaled by 1/(1-p).
-    ``impl``: xla (default) | pallas.
+
+    ``impl=bits8``/``bits16`` thresholds RAW generator words instead of
+    the bernoulli f32-uniform compare: one uint32 word is bitcast into
+    4 (resp. 2) lanes, so the PRNG generates 4x (2x) fewer bits per mask
+    — mask generation is ~12 ms of the 282 ms b=128 train step even on
+    the rbg generator (PERF.md trace). The keep probability quantizes to
+    the nearest 1/256 (bits8: 0.9 -> 0.8984) or 1/65536 (bits16:
+    0.9 -> 0.899994); kept values are rescaled by the QUANTIZED keep
+    probability, so the expectation stays exactly unbiased.
+
+    ``impl``: xla (default) | bits16 | bits8 | pallas.
     """
 
     rate: float
@@ -61,6 +71,24 @@ class TPUDropout(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if deterministic or self.rate == 0.0:
             return x
+        if self.impl in ("bits8", "bits16"):
+            lanes, udtype = ((4, jnp.uint8) if self.impl == "bits8"
+                             else (2, jnp.uint16))
+            if x.size % lanes == 0:
+                levels = 1 << (8 * (4 // lanes))
+                # Clamp below ``levels``: q == levels would wrap the uint
+                # threshold to 0 and drop everything (rate 1/512 at bits8
+                # would otherwise round keep to 256/256).
+                q = min(round((1.0 - self.rate) * levels), levels - 1)
+                keep_q = q / levels
+                key = self.make_rng("dropout")
+                words = jax.random.bits(key, (x.size // lanes,), jnp.uint32)
+                bits = jax.lax.bitcast_convert_type(
+                    words, udtype).reshape(x.shape)
+                mask = bits < udtype(q)  # P(keep) = q / levels
+                return jnp.where(mask, x / jnp.asarray(keep_q, x.dtype),
+                                 jnp.zeros((), x.dtype))
+            return nn.Dropout(self.rate, deterministic=False)(x)
         from instageo_tpu.ops.dropout import (fused_dropout,
                                               supports_fused_dropout)
 

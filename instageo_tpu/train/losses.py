@@ -44,10 +44,14 @@ def masked_cross_entropy(
     # the confusion-matrix matmuls, CLAUDE.md).
     classes = jax.lax.broadcasted_iota(jnp.int32, (1, num_classes, 1, 1), 1)
     onehot = classes == safe_labels[:, None]
-    nll = -jnp.where(onehot, logp, 0.0).sum(axis=1)
     if class_weights is not None:
+        # Fold the weights into the one-hot reduce (w[y]·nll(y) =
+        # -Σ_c onehot_c·w_c·logp_c): a broadcast multiply over the class
+        # axis instead of a (B, H, W) gather from the weight table, which
+        # is the same megapixel-gather shape the NLL fix above removes.
         w = jnp.asarray(class_weights, dtype=jnp.float32)
-        nll = nll * w[safe_labels]
+        logp = logp * w[None, :, None, None]
+    nll = -jnp.where(onehot, logp, 0.0).sum(axis=1)
     denom = jnp.maximum(mask.sum(), 1.0)
     return (nll * mask).sum() / denom
 

@@ -77,3 +77,49 @@ def test_model_fallback_trains_on_cpu():
                          mutable=["batch_stats"])
     assert out.shape == (2, 2, 32, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+@pytest.mark.parametrize("impl,levels", [("bits8", 256), ("bits16", 65536)])
+def test_bits_dropout_rate_scale_determinism(impl, levels):
+    """Raw-bits dropout: unbiased scale, quantized rate, per-key streams."""
+    from instageo_tpu.models.seg import TPUDropout
+
+    rate = 0.1
+    q = min(round((1 - rate) * levels), levels - 1)
+    keep_q = q / levels
+    mod = TPUDropout(rate, impl=impl)
+    x = jnp.ones((4, 64, 64), jnp.float32)
+    out = np.asarray(mod.apply({}, x, False,
+                               rngs={"dropout": jax.random.PRNGKey(0)}))
+    kept = out != 0
+    # Kept elements carry the QUANTIZED-keep-prob scale (exact expectation).
+    np.testing.assert_allclose(out[kept], 1.0 / keep_q, rtol=1e-6)
+    # Empirical drop rate near the quantized rate (16384 samples).
+    assert abs((~kept).mean() - (1 - keep_q)) < 0.02
+    # Deterministic per key; different across keys.
+    out2 = np.asarray(mod.apply({}, x, False,
+                                rngs={"dropout": jax.random.PRNGKey(0)}))
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(mod.apply({}, x, False,
+                                rngs={"dropout": jax.random.PRNGKey(1)}))
+    assert not np.array_equal(out, out3)
+
+
+def test_bits_dropout_odd_size_falls_back():
+    """Sizes not divisible by the lane packing use the bernoulli path."""
+    from instageo_tpu.models.seg import TPUDropout
+
+    x = jnp.ones((3, 5), jnp.float32)  # 15 elements: not /2 nor /4
+    out = np.asarray(TPUDropout(0.5, impl="bits8").apply(
+        {}, x, False, rngs={"dropout": jax.random.PRNGKey(0)}))
+    kept = out != 0
+    np.testing.assert_allclose(out[kept], 2.0, rtol=1e-6)
+
+
+def test_bits_dropout_tiny_rate_never_drops_everything():
+    """rate < 1/levels must clamp the threshold, not wrap it to zero."""
+    from instageo_tpu.models.seg import TPUDropout
+
+    x = jnp.ones((64, 64), jnp.float32)
+    out = np.asarray(TPUDropout(1.0 / 512, impl="bits8").apply(
+        {}, x, False, rngs={"dropout": jax.random.PRNGKey(0)}))
+    assert (out != 0).mean() > 0.9
