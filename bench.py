@@ -153,10 +153,14 @@ def bench_train(platform: str) -> dict:
     batch = int(os.environ.get("BENCH_TRAIN_BATCH",
                                128 if platform == "tpu" else 8))
     # Chain k steps per jitted call (lax.scan) to amortize the per-call
-    # dispatch/relay overhead — +20% at b=32, +3% at b=128 (PERF.md).
-    # Default 1: at the bench's b=128 the gain is small and the extra
-    # scan-program compile would dominate the bench's wall time.
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", 1))
+    # dispatch/relay overhead — 283 -> 232 ms/step at b=128 with k=8
+    # (PERF.md round 3). Default 8 on TPU: it is the recommended
+    # production config (tpu.steps_per_call), numerics identical to
+    # sequential steps, and the scan program is compile-cached. MFU stays
+    # honest: FLOPs come from the single-step program and the timed
+    # seconds are divided by k.
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL",
+                             8 if platform == "tpu" else 1))
     cfg = load_config("config", overrides={
         "dataloader.img_size": 224,
         "dataloader.bands": [0, 1, 2, 3, 4, 5],
@@ -164,6 +168,7 @@ def bench_train(platform: str) -> dict:
                                            "prithvi_eo_v1_100"),
         "tpu.remat": os.environ.get("BENCH_REMAT", "0") == "1",
         "tpu.dropout_impl": os.environ.get("BENCH_DROPOUT_IMPL", "xla"),
+        "tpu.attn_impl": os.environ.get("BENCH_ATTN", "xla"),
         "model.load_pretrained_weights": False,
         "train.batch_size": batch,
         "train.ignore_index": -1,
