@@ -113,7 +113,23 @@ class Trainer:
         tpu_cfg = cfg.get("tpu") or {}
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
-        self.steps_per_call = max(1, int(tpu_cfg.get("steps_per_call", 1)))
+        spc = tpu_cfg.get("steps_per_call", 1)
+        if str(spc) == "auto":
+            # Scan k steps per jitted call on TPU (283 -> 232 ms/step at
+            # b=128 with k=8 — PERF.md round 3b: amortizes the fixed
+            # per-dispatch cost). k is capped so the k staged input
+            # batches stay under ~512 MB of HBM; off-TPU the scan only
+            # adds compile time.
+            if jax.default_backend() == "tpu":
+                batch_bytes = (int(cfg.train.get("batch_size", 8))
+                               * len(cfg.dataloader.get("bands") or [0] * 6)
+                               * int(cfg.dataloader.get("temporal_dim", 1))
+                               * int(cfg.dataloader.get("img_size", 224)) ** 2
+                               * 2)  # bf16 transfer
+                spc = max(1, min(8, (512 << 20) // max(batch_bytes, 1)))
+            else:
+                spc = 1
+        self.steps_per_call = max(1, int(spc))
         rng_impl = str(tpu_cfg.get("rng_impl", "auto"))
         if rng_impl == "auto":
             rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"

@@ -232,3 +232,22 @@ def test_rng_impl_rbg_deterministic():
         assert np.isfinite(m["train_loss"])
         losses[impl] = m["train_loss"]
     assert losses["rbg"] == losses["rbg_again"]  # deterministic per seed
+
+def test_steps_per_call_auto(monkeypatch):
+    """auto resolves to 1 off-TPU, and to an HBM-capped k<=8 on TPU."""
+    model, variables = create_model(_cfg())
+    t = Trainer(_cfg(**{"tpu.steps_per_call": "auto"}), model, variables)
+    assert t.steps_per_call == 1  # CPU backend
+
+    import instageo_tpu.train.trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod.jax, "default_backend", lambda: "tpu")
+    t = Trainer(_cfg(**{"tpu.steps_per_call": "auto",
+                        "tpu.rng_impl": "threefry"}), model, variables)
+    assert t.steps_per_call == 8  # b=8 32px batches: far below the cap
+    t = Trainer(_cfg(**{"tpu.steps_per_call": "auto",
+                        "tpu.rng_impl": "threefry",
+                        "dataloader.img_size": 224,
+                        "train.batch_size": 2048}), model, variables)
+    # 2048x6x224^2 bf16 batches = 1.15 GB: the 512 MB staging cap hits.
+    assert t.steps_per_call == 1
