@@ -10,7 +10,9 @@ to the state layout:
 1. pure data parallelism (batch sharded, everything else replicated);
 2. + ZeRO-1 (optimizer moments sharded over the data axis);
 3. + tensor parallelism (``tpu.tp=2``: transformer matmuls column/row
-   sharded over a 2D (data, model) mesh — ``parallel/tp.py``).
+   sharded over a 2D (data, model) mesh — ``parallel/tp.py``);
+4. FSDP/ZeRO-3 (``tpu.fsdp``: the params themselves sharded over the
+   data axis — ``parallel/fsdp.py``).
 
 On a multi-host pod the only addition is ``jax.distributed.initialize()``
 before building the mesh (see ``parallel/multihost.py``).
@@ -59,6 +61,7 @@ def main(out_dir: str) -> None:
         ("data parallel", {}),
         ("DP + ZeRO-1", {"tpu.zero1": True}),
         ("DP x TP(2) + ZeRO-1", {"tpu.tp": 2, "tpu.zero1": True}),
+        ("FSDP (ZeRO-3)", {"tpu.fsdp": True}),
     ]:
         cfg = load_config("config", overrides={
             "dataloader.img_size": 32,

@@ -113,15 +113,19 @@ def tp_place(params: Any, mesh: Mesh) -> Any:
 
 
 def place_state_like_params(state: Any, params: Any, mesh: Mesh,
-                            zero1: bool = False) -> Any:
-    """Place an optimizer state: param-shaped subtrees get the params' TP
+                            zero1: bool = False, specs: Any = None) -> Any:
+    """Place an optimizer state: param-shaped subtrees get the params'
     specs (AdamW moments mirror the params tree), everything else is
-    replicated. With ``zero1``, moments the TP rules leave replicated are
-    additionally sharded on dim 0 over the data axis (ZeRO-1), composing
-    both memory savings. Non-mirroring states (e.g. masked/frozen trees)
-    fall back to full replication — correct, just not memory-sharded.
+    replicated. ``specs`` defaults to the TP rules; pass
+    ``fsdp_specs(params, mesh)`` to mirror a ZeRO-3 placement instead
+    (parallel/fsdp.py). With ``zero1``, moments the specs leave
+    replicated are additionally sharded on dim 0 over the data axis
+    (ZeRO-1), composing both memory savings. Non-mirroring states (e.g.
+    masked/frozen trees) fall back to full replication — correct, just
+    not memory-sharded.
     """
-    specs = tp_specs(params)
+    if specs is None:
+        specs = tp_specs(params)
     pdef = jax.tree.structure(params)
     n_data = int(mesh.shape[DATA_AXIS])
 

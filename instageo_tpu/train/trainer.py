@@ -163,6 +163,18 @@ class Trainer:
             params = tp_place(variables["params"], self.mesh)
             opt_state = place_state_like_params(
                 opt_state, variables["params"], self.mesh, zero1=use_zero1)
+        elif (bool((cfg.get("tpu") or {}).get("fsdp", False))
+              and int(self.mesh.devices.size) > 1):
+            # FSDP / ZeRO-3 (tpu.fsdp): params themselves sharded over the
+            # data axis (parallel/fsdp.py); moments mirror the param specs.
+            # GSPMD all-gathers kernels at use and — via the grad pinning
+            # below — reduce-scatters the gradients.
+            from instageo_tpu.parallel.fsdp import fsdp_place, fsdp_specs
+
+            params = fsdp_place(variables["params"], self.mesh)
+            opt_state = place_state_like_params(
+                opt_state, variables["params"], self.mesh, zero1=use_zero1,
+                specs=fsdp_specs(variables["params"], self.mesh))
         else:
             params = replicate_tree(variables["params"], self.mesh)
             if use_zero1:

@@ -72,6 +72,61 @@ def test_zero1_training_step_runs():
     assert np.isfinite(m["train_loss"])
 
 
+def test_fsdp_spec_rule():
+    from instageo_tpu.parallel.fsdp import fsdp_place
+
+    mesh = make_mesh()  # 8 devices
+    params = {
+        "big0": jnp.zeros((64, 2048)),      # dim 1 largest & divisible
+        "qkv": jnp.zeros((3, 3, 256, 128)),  # largest divisible dim = 2
+        "small": jnp.zeros((3,)),            # under threshold
+        "odd": jnp.zeros((257, 509)),        # big, no divisible dim
+    }
+    placed = fsdp_place(params, mesh)
+    assert placed["big0"].sharding.spec == P(None, "data")
+    assert placed["qkv"].sharding.spec == P(None, None, "data")
+    assert placed["small"].sharding.spec == P()
+    assert placed["odd"].sharding.spec == P()
+
+
+def test_fsdp_training_matches_dp():
+    """ZeRO-3 param sharding is a layout change, not a numerics change:
+    the loss trajectory must match pure DP. Composes with zero1 + the
+    k-step scanned path."""
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import Trainer
+
+    overrides = {
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": 8, "train.ignore_index": -1,
+        "tpu.precision": "f32",
+    }
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
+
+    losses = {}
+    for name, extra in [("dp", {}),
+                        ("fsdp", {"tpu.fsdp": True, "tpu.zero1": True,
+                                  "tpu.steps_per_call": 2})]:
+        cfg = load_config("config", overrides={**overrides, **extra})
+        model, variables = create_model(cfg)
+        trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+        if name == "fsdp":
+            # Params must actually be dim-sharded over the data axis.
+            fc1 = trainer.state.params["prithvi_encoder"]["blocks_0"][
+                "mlp"]["fc1"]["kernel"]
+            assert fc1.sharding.spec == P(None, "data"), fc1.sharding.spec
+        m = trainer.run_train_epoch(iter([(x, y), (x, y)]),
+                                    jax.random.PRNGKey(0), 8)
+        losses[name] = m["train_loss"]
+        assert int(jax.device_get(trainer.state.step)) == 2
+    np.testing.assert_allclose(losses["dp"], losses["fsdp"], rtol=1e-4)
+
+
 def test_multihost_single_process_paths():
     initialize_multihost()  # no-op single process
     mesh = make_mesh()
