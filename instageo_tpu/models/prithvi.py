@@ -360,8 +360,14 @@ class Attention(nn.Module):
             impl = "pallas" if b <= 16 else "xla"
         # The kernel is differentiable since round 3 (flash backward via
         # custom_vjp, ops/attention.py) so training forwards may use it.
+        # On a >1-device mesh the module falls back to XLA: a pallas_call
+        # has no GSPMD partitioning rule, so feeding it the sharded
+        # q/k/v pinned above would force replication (or fail to
+        # partition) instead of running per-shard.
         use_pallas = (impl == "pallas"
-                      and jax.default_backend() == "tpu")
+                      and jax.default_backend() == "tpu"
+                      and (self.tp_mesh is None
+                           or int(self.tp_mesh.devices.size) == 1))
         if use_pallas:
             from instageo_tpu.ops.attention import flash_attention
 

@@ -289,6 +289,8 @@ class PrithviSeg(nn.Module):
             # use axis=-1). The trace bills the NCHW transpose ~10 ms at
             # b=512 but XLA overlaps it — end-to-end A/B was flat
             # (PERF.md); kept because serving consumers don't need NCHW.
+            if return_features:
+                return logits.astype(jnp.float32), feature_map.astype(jnp.float32)
             return logits.astype(jnp.float32)
         logits = logits.astype(jnp.float32).transpose(0, 3, 1, 2)  # NHWC -> NCHW
         if return_features:

@@ -235,31 +235,55 @@ def process_tile_chips(
     sorted_idx = np.nonzero(in_range)[0][sel]
     ci_sorted = point_chip_idx[sorted_idx]
     counts = np.bincount(ci_sorted, minlength=n)
-    max_count = int(counts.max()) if counts.size else 0
-    cap = max_points_per_chip
-    if max_count > cap:
-        # NEVER drop observations (the reference stamps every point): grow
-        # the pad to the next power of two so dense label rasters fit, while
-        # bucketing keeps the jitted stamp from recompiling per tile.
-        cap = 1 << (max_count - 1).bit_length()
-    p_rc = np.zeros((n, cap, 2), np.int32)
-    p_lab = np.zeros((n, cap), np.float32)
-    p_valid = np.zeros((n, cap), bool)
-    if sorted_idx.size:
-        starts = np.zeros(n + 1, np.int64)
-        np.cumsum(counts, out=starts[1:])
-        rank = np.arange(sorted_idx.size, dtype=np.int64) - starts[ci_sorted]
-        x0 = chip_coords[ci_sorted, 0].astype(np.int64) * chip_size
-        y0 = chip_coords[ci_sorted, 1].astype(np.int64) * chip_size
-        p_rc[ci_sorted, rank, 0] = point_rc[sorted_idx, 0] - y0
-        p_rc[ci_sorted, rank, 1] = point_rc[sorted_idx, 1] - x0
-        p_lab[ci_sorted, rank] = point_labels[sorted_idx]
-        p_valid[ci_sorted, rank] = True
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(sorted_idx.size, dtype=np.int64) - starts[ci_sorted]
+
+    # NEVER drop observations (the reference stamps every point) — but one
+    # dense chip (e.g. a label raster, 50k points) must not inflate every
+    # chip's padding: the pads are (n_bucket, cap, ·) host arrays that
+    # cross the host->device link. Chips are bucketed by the pow2 of their
+    # OWN point count: sparse chips share the base-cap bucket (the common
+    # case — one compile, same memory as a hard cap), denser chips get a
+    # pow2 cap sized to themselves, so total pad memory stays O(P).
+    caps = np.full(n, max_points_per_chip, np.int64)
+    dense = counts > max_points_per_chip
+    if dense.any():
+        caps[dense] = [1 << (int(c) - 1).bit_length() for c in counts[dense]]
 
     stamp = jax.vmap(
         lambda rc, lab, v: stamp_segmentation(
             rc, lab, v, chip_size, window_size, is_reg))
-    seg_maps = stamp(jnp.asarray(p_rc), jnp.asarray(p_lab), jnp.asarray(p_valid))
+
+    def stamp_bucket(ids: np.ndarray, cap: int) -> jnp.ndarray:
+        row_of = np.full(n, -1, np.int64)
+        row_of[ids] = np.arange(len(ids))
+        p_rc = np.zeros((len(ids), cap, 2), np.int32)
+        p_lab = np.zeros((len(ids), cap), np.float32)
+        p_valid = np.zeros((len(ids), cap), bool)
+        m = row_of[ci_sorted] >= 0
+        if m.any():
+            bi, rk = row_of[ci_sorted[m]], rank[m]
+            src = sorted_idx[m]
+            x0 = chip_coords[ci_sorted[m], 0].astype(np.int64) * chip_size
+            y0 = chip_coords[ci_sorted[m], 1].astype(np.int64) * chip_size
+            p_rc[bi, rk, 0] = point_rc[src, 0] - y0
+            p_rc[bi, rk, 1] = point_rc[src, 1] - x0
+            p_lab[bi, rk] = point_labels[src]
+            p_valid[bi, rk] = True
+        return stamp(jnp.asarray(p_rc), jnp.asarray(p_lab),
+                     jnp.asarray(p_valid))
+
+    unique_caps = np.unique(caps)
+    if len(unique_caps) == 1:
+        seg_maps = stamp_bucket(np.arange(n), int(unique_caps[0]))
+    else:
+        parts = np.full((n, chip_size, chip_size), SEG_MAP_NO_DATA,
+                        np.float32 if is_reg else np.int16)
+        for cap in unique_caps:
+            ids = np.nonzero(caps == cap)[0]
+            parts[ids] = np.asarray(stamp_bucket(ids, int(cap)))
+        seg_maps = jnp.asarray(parts)
     seg_maps = jax.vmap(
         lambda c, s: mask_segmentation_map(c, s, no_data_value,
                                            masking_strategy))(chips, seg_maps)

@@ -15,8 +15,9 @@ latency-shaped.
 
 Spec rule: each leaf is sharded on its LARGEST dim divisible by the
 data-axis size (largest dim → least per-shard padding pressure and the
-most even split); leaves smaller than 64 KiB or with no divisible dim
-stay replicated — gathering a LayerNorm scale saves nothing and costs a
+most even split); leaves under 64K ELEMENTS (256 KiB at f32 — the same
+element threshold ``zero1_place`` uses) or with no divisible dim stay
+replicated — gathering a LayerNorm scale saves nothing and costs a
 collective. The rule is shape-driven, not name-driven, so it covers
 every model family the registry ships without a per-model table.
 
@@ -35,8 +36,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from instageo_tpu.parallel.mesh import DATA_AXIS
 
-# Below this many elements a leaf stays replicated: the all-gather set-up
-# cost exceeds the memory saved (same threshold as zero1_place).
+# Below this many ELEMENTS (not bytes) a leaf stays replicated: the
+# all-gather set-up cost exceeds the memory saved (same element
+# threshold as zero1_place).
 MIN_SHARD_SIZE = 1 << 16
 
 

@@ -68,3 +68,29 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict:
         f"{path}: not an orbax checkpoint directory. For torch checkpoints "
         "use instageo_tpu.models.checkpoint.seg_variables_from_torch."
     )
+
+
+def migrate_param_tree(restored: Any, reference: Any) -> Any:
+    """Reshape same-size leaves of ``restored`` onto ``reference``'s shapes.
+
+    Param-layout migrations are pure reshapes of the same memory order —
+    e.g. round 3 restructured the attention qkv kernel from the flat
+    ``(D, 3·H·Dh)`` to the head-structured ``(D, 3, H, Dh)`` (and its bias
+    ``(3·H·Dh,) -> (3, H, Dh)``) so tensor-parallel sharding lands on the
+    head dim (parallel/tp.py). Checkpoints written before such a change
+    restore with the old shapes; this reshapes any leaf whose element
+    count matches the live param but whose shape differs, and raises on a
+    true size mismatch (a genuinely incompatible checkpoint).
+    """
+    def fit(new, cur):
+        arr = np.asarray(new)
+        cur_shape = tuple(np.shape(cur))
+        if tuple(arr.shape) == cur_shape:
+            return new
+        if arr.size == int(np.prod(cur_shape, dtype=np.int64)):
+            return arr.reshape(cur_shape)
+        raise ValueError(
+            f"checkpoint leaf shape {arr.shape} incompatible with live "
+            f"param shape {cur_shape} (sizes differ)")
+
+    return jax.tree.map(fit, restored, reference)

@@ -37,6 +37,18 @@ def build_model(cfg: Any) -> PrithviSeg:
     """Construct the PrithviSeg module from a run config."""
     num_bands = len(cfg.dataloader.get("bands") or [0] * 6)
     num_classes = 1 if cfg.get("is_reg_task", False) else int(cfg.model.num_classes)
+    tpu_cfg = cfg.get("tpu") or {}
+    # Validate enum-like knobs up front: Mlp's gelu dispatch (and the
+    # dropout path selection) else-branch to the default form, so a typo
+    # like gelu=tahn would silently run "exact" forever.
+    for knob, allowed in (("gelu", ("exact", "tanh", "bf16")),
+                          ("attn_impl", ("xla", "pallas", "auto")),
+                          ("dropout_impl", ("xla", "bits16", "bits8",
+                                            "pallas"))):
+        val = str(tpu_cfg.get(knob, allowed[0]))
+        if val not in allowed:
+            raise ValueError(
+                f"tpu.{knob}={val!r} — expected one of {allowed}")
     return PrithviSeg(
         variant=str(cfg.model.model_name),
         num_classes=num_classes,
@@ -112,7 +124,15 @@ def load_finetuned(path: str, model: PrithviSeg, cfg: Any,
         # Restore without a target (checkpoints may or may not carry
         # opt_state for mid-training resume); arrays come back as numpy.
         restored = load_checkpoint(path, target=None)
-        return {"params": restored["params"],
+        params = restored["params"]
+        if init_vars is not None:
+            # Checkpoints from before a param-layout change (e.g. the
+            # round-3 flat->head-structured qkv) carry the old shapes;
+            # reshape them onto the live layout (same memory order).
+            from instageo_tpu.train.checkpointing import migrate_param_tree
+
+            params = migrate_param_tree(params, init_vars["params"])
+        return {"params": params,
                 "batch_stats": restored.get("batch_stats", {})}
     # torch Lightning checkpoint (.ckpt/.pt)
     from instageo_tpu.models.checkpoint import load_torch_file

@@ -114,23 +114,26 @@ class Trainer:
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
         spc = tpu_cfg.get("steps_per_call", 1)
-        if str(spc) == "auto":
+        self._sample_bytes = (len(cfg.dataloader.get("bands") or [0] * 6)
+                              * int(cfg.dataloader.get("temporal_dim", 1))
+                              * int(cfg.dataloader.get("img_size", 224)) ** 2
+                              * (2 if self._transfer_bf16 else 4))
+        self._auto_spc = str(spc) == "auto"
+        if self._auto_spc:
             # Scan k steps per jitted call on TPU (283 -> 232 ms/step at
             # b=128 with k=8 — PERF.md round 3b: amortizes the fixed
             # per-dispatch cost). k is capped so the k staged input
             # batches stay under ~512 MB of HBM; off-TPU the scan only
             # adds compile time.
             if jax.default_backend() == "tpu":
-                batch_bytes = (int(cfg.train.get("batch_size", 8))
-                               * len(cfg.dataloader.get("bands") or [0] * 6)
-                               * int(cfg.dataloader.get("temporal_dim", 1))
-                               * int(cfg.dataloader.get("img_size", 224)) ** 2
-                               * 2)  # bf16 transfer
-                spc = max(1, min(8, (512 << 20) // max(batch_bytes, 1)))
+                spc = self._k_cap(int(cfg.train.get("batch_size", 8)))
             else:
                 spc = 1
         self.steps_per_call = max(1, int(spc))
         rng_impl = str(tpu_cfg.get("rng_impl", "auto"))
+        if rng_impl not in ("auto", "rbg", "threefry"):
+            raise ValueError(f"tpu.rng_impl={rng_impl!r} — expected "
+                             "auto | rbg | threefry")
         if rng_impl == "auto":
             rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
         self._rng_impl = rng_impl
@@ -358,6 +361,23 @@ class Trainer:
 
     # -- epoch loops -------------------------------------------------------
 
+    def _k_cap(self, batch_size: int) -> int:
+        """Largest k<=8 whose staged (k, B, ...) input stack stays under
+        ~512 MB of HBM."""
+        batch_bytes = batch_size * self._sample_bytes
+        return max(1, min(8, (512 << 20) // max(batch_bytes, 1)))
+
+    def _k_for(self, batch_size: int) -> int:
+        """Scan length actually used this epoch. Under ``steps_per_call:
+        auto`` the config-time sizing used ``train.batch_size``; eval/test
+        callers can pass a much larger batch, so re-clamp to the HBM cap
+        for the batch size in effect (an explicit integer k is honored
+        as configured)."""
+        k = self.steps_per_call
+        if k > 1 and self._auto_spc:
+            k = min(k, self._k_cap(batch_size))
+        return k
+
     def _shard(self, x: np.ndarray, y: np.ndarray):
         out = shard_batch((x, y), self.mesh)
         return out[0], out[1]
@@ -397,14 +417,22 @@ class Trainer:
         """
         if self._rng_impl == "threefry":
             return rng
-        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
-        return jax.random.key(seed, impl=self._rng_impl)
+        # Carry BOTH 32-bit words of the threefry key into the new stream —
+        # keeping only the low word would collapse (seed, epoch) pairs onto
+        # a 2^32 space. The high word goes in via fold_in (jax.random.key
+        # truncates >32-bit seeds when x64 is off).
+        words = np.asarray(jax.random.key_data(rng)).ravel()
+        key = jax.random.key(int(words[-1]), impl=self._rng_impl)
+        if words.size >= 2:
+            key = jax.random.fold_in(key, int(words[-2]))
+        return key
 
     def run_train_epoch(self, batches: Iterable, rng: jax.Array,
                         batch_size: int) -> Dict:
         rng = self._epoch_rng(rng)
         metrics = EpochMetrics.empty(self.num_classes)
-        if self._train_scan is None:
+        k = self._k_for(batch_size)
+        if self._train_scan is None or k == 1:
             for i, (x, y) in enumerate(batches):
                 x, y = self._prepare(x, y, batch_size)
                 step_rng = jax.random.fold_in(rng, i)
@@ -413,7 +441,6 @@ class Trainer:
             return self._finalize(metrics, "train", with_auc=False)
 
         # Multi-step path: group k prepared batches, run one scanned call.
-        k = self.steps_per_call
         group, i = [], 0
 
         def flush(group, i0, metrics):
@@ -448,7 +475,8 @@ class Trainer:
                        collect_outputs: bool = False) -> Dict:
         metrics = EpochMetrics.empty(self.num_classes)
         with_auc = step_type == "test" and not self.is_reg
-        if self._eval_scan is not None and not collect_outputs:
+        if (self._eval_scan is not None and not collect_outputs
+                and self._k_for(batch_size) > 1):
             return self._run_eval_epoch_scanned(batches, batch_size,
                                                 step_type, with_auc, metrics)
         collected_p, collected_y = [], []
@@ -475,7 +503,7 @@ class Trainer:
 
     def _run_eval_epoch_scanned(self, batches, batch_size, step_type,
                                 with_auc, metrics) -> Dict:
-        k = self.steps_per_call
+        k = self._k_for(batch_size)
         group = []
 
         def flush(group, metrics):
@@ -583,16 +611,29 @@ class Trainer:
             "batch_stats": jax.device_get(self.state.batch_stats),
             "opt_state": jax.device_get(self.state.opt_state),
         }
+        from instageo_tpu.train.checkpointing import migrate_param_tree
+
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(ckpt_path)
         try:
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(ckpt_path), target=target)
+            restored = ckptr.restore(path, target=target)
             opt_state = restored["opt_state"]
         except Exception:
-            # Older checkpoints without opt_state: restore the rest.
-            target.pop("opt_state")
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(ckpt_path), target=target)
+            # Older checkpoints without opt_state: restore the rest and
+            # keep the freshly initialized optimizer state.
+            tgt = {k: v for k, v in target.items() if k != "opt_state"}
+            restored = ckptr.restore(path, target=tgt)
             opt_state = jax.device_get(self.state.opt_state)
+        # Legacy param layouts (e.g. the pre-round-3 flat qkv): orbax
+        # restores SAVED shapes even under a target, silently — reshape
+        # same-size leaves onto the live layout (pure reshape, same
+        # memory order). Optimizer moments mirror the params, so the
+        # same migration applies.
+        restored["params"] = migrate_param_tree(restored["params"],
+                                                target["params"])
+        restored["batch_stats"] = migrate_param_tree(
+            restored.get("batch_stats", {}), target["batch_stats"])
+        opt_state = migrate_param_tree(opt_state, target["opt_state"])
         def place_like(new_tree, cur_tree):
             # Re-place each restored leaf with the LIVE state's sharding —
             # replicate_tree here would silently discard the ZeRO-1 /

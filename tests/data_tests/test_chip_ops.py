@@ -234,6 +234,42 @@ def test_process_tile_chips_vectorized_matches_loop_semantics():
     np.testing.assert_array_equal(segs, expected)
 
 
+def test_process_tile_chips_mixed_density_buckets():
+    """One dense chip must not inflate every chip's padding: chips are
+    bucketed by the pow2 of their OWN count (multi-bucket path), and the
+    stitched result still matches the sequential reference stamping."""
+    rng = np.random.default_rng(11)
+    cs, n_side = 16, 2
+    h = w = cs * n_side
+    tile = np.full((1, h, w), 3.0, np.float32)
+    coords = np.array([[x, y] for y in range(n_side)
+                       for x in range(n_side)], np.int32)
+    # Chip 0 dense (every pixel), the rest sparse (3 points each).
+    rr, cc = np.meshgrid(np.arange(cs), np.arange(cs), indexing="ij")
+    pts = [np.stack([rr.ravel(), cc.ravel()], axis=1)]
+    owners = [np.zeros(cs * cs, np.int64)]
+    for ci in range(1, len(coords)):
+        r0 = coords[ci, 1] * cs
+        c0 = coords[ci, 0] * cs
+        pr = rng.integers(0, cs, 3) + r0
+        pc = rng.integers(0, cs, 3) + c0
+        pts.append(np.stack([pr, pc], axis=1))
+        owners.append(np.full(3, ci, np.int64))
+    rc = np.concatenate(pts).astype(np.int64)
+    owner = np.concatenate(owners)
+    labels = rng.integers(0, 9, len(rc)).astype(np.float32)
+
+    _, segs, _, _ = process_tile_chips(
+        tile, None, coords, rc, labels, owner, chip_size=cs,
+        no_data_value=0, mask_types=(), masking_strategy="each",
+        window_size=0, max_points_per_chip=8)
+
+    expected = np.full((len(coords), cs, cs), -1, np.int16)
+    for (r, c), lab, ci in zip(rc, labels, owner):
+        expected[ci, r - coords[ci, 1] * cs, c - coords[ci, 0] * cs] = lab
+    np.testing.assert_array_equal(segs, expected)
+
+
 def test_preprocess_chips_center_crops_to_img_size():
     from instageo_tpu.ops.preprocess import preprocess_chips
 
