@@ -130,6 +130,7 @@ class Trainer:
             else:
                 spc = 1
         self.steps_per_call = max(1, int(spc))
+        self.grad_accum = max(1, int(cfg.train.get("grad_accum", 1)))
         rng_impl = str(tpu_cfg.get("rng_impl", "auto"))
         if rng_impl not in ("auto", "rbg", "threefry"):
             raise ValueError(f"tpu.rng_impl={rng_impl!r} — expected "
@@ -256,21 +257,72 @@ class Trainer:
         return jax.lax.stop_gradient(
             t_model.apply(self._teacher_vars, x, train=False))
 
-    def _train_step_body(self, state: TrainState, x, labels, rng,
-                         metrics: EpochMetrics):
-        """One optimizer step (traced inside both jit variants)."""
+    def _micro_grads(self, params, batch_stats, x, labels, rng):
+        """Loss/grads for one (micro-)batch; returns mutated batch_stats."""
         teacher_logits = self._teacher_logits(x)
 
         def loss_fn(params):
             out, mutated = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 x, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
             return self._loss(out, labels, teacher_logits), (out, mutated)
 
         (loss, (logits, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(params)
+        return loss, logits, mutated["batch_stats"], grads
+
+    def _accum_grads(self, state: TrainState, x, labels, rng,
+                     metrics: EpochMetrics):
+        """Gradient accumulation (``train.grad_accum`` = a > 1): the batch
+        splits into ``a`` sequential micro-batches inside the SAME jitted
+        step — one forward+backward each under a ``lax.scan`` (so only one
+        micro-batch of activations is live at a time; an alternative to
+        ``tpu.remat``'s ~24% recompute tax for HBM-bound configs), grads
+        averaged, ONE optimizer update. BatchNorm statistics update per
+        micro-batch (the running-average semantics every framework has
+        under accumulation); metrics see every micro-batch.
+        """
+        a = self.grad_accum
+        b = x.shape[0]
+        xs = x.reshape(a, b // a, *x.shape[1:])
+        ys = labels.reshape(a, b // a, *labels.shape[1:])
+        if self.mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(self.mesh, P(None, "data"))
+            xs = jax.lax.with_sharding_constraint(xs, spec)
+            ys = jax.lax.with_sharding_constraint(ys, spec)
+        rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(a))
+
+        def micro(carry, inp):
+            bs, gsum, m = carry
+            xb, yb, r = inp
+            loss, logits, bs, grads = self._micro_grads(
+                state.params, bs, xb, yb, r)
+            m = self._update_metrics(m, logits, yb, loss, with_auc=False)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (bs, gsum, m), None
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        (batch_stats, gsum, metrics), _ = jax.lax.scan(
+            micro, (state.batch_stats, gzero, metrics), (xs, ys, rngs))
+        grads = jax.tree.map(lambda g: g / a, gsum)
+        return grads, {"batch_stats": batch_stats}, metrics
+
+    def _train_step_body(self, state: TrainState, x, labels, rng,
+                         metrics: EpochMetrics):
+        """One optimizer step (traced inside both jit variants)."""
+        if self.grad_accum > 1:
+            grads, mutated, metrics = self._accum_grads(
+                state, x, labels, rng, metrics)
+        else:
+            loss, logits, new_bs, grads = self._micro_grads(
+                state.params, state.batch_stats, x, labels, rng)
+            mutated = {"batch_stats": new_bs}
+            metrics = self._update_metrics(metrics, logits, labels, loss,
+                                           with_auc=False)
         if self.mesh.devices.size > 1:
             # Pin gradients to the params' shardings (replicated under DP,
             # column/row under TP). Without this, ZeRO-1's dim0-sharded
@@ -291,8 +343,6 @@ class Trainer:
             batch_stats=mutated["batch_stats"],
             opt_state=opt_state,
         )
-        metrics = self._update_metrics(metrics, logits, labels, loss,
-                                       with_auc=False)
         return new_state, metrics
 
     def _build_train_step(self) -> Callable:
@@ -387,9 +437,11 @@ class Trainer:
         fill = self.ignore_index if not self.is_reg else float(self.ignore_index)
         # Static shapes for jit + divisibility for the data-parallel mesh:
         # pad up to the next multiple of the mesh size >= batch_size.
-        n_dev = int(self.mesh.devices.size)
+        # (and, under grad accumulation, each micro-batch must divide
+        # the mesh too: pad to a multiple of grad_accum * mesh size).
+        unit = int(self.mesh.devices.size) * self.grad_accum
         target = max(batch_size, int(np.asarray(x).shape[0]))
-        target = ((target + n_dev - 1) // n_dev) * n_dev
+        target = ((target + unit - 1) // unit) * unit
         x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), target, fill,
                             repeat_inputs=True)
         if self._transfer_bf16:
