@@ -14,7 +14,8 @@ device count divided by that target.
 Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH,
 BENCH_STEPS_PER_CALL (train steps chained per jitted call), BENCH_MODE
 (``all``|``infer``|``train``), BENCH_MODEL (registry variant, default
-prithvi_eo_v1_100), BENCH_REMAT=1 (per-block remat), BENCH_DROPOUT_IMPL
+prithvi_eo_v1_100), BENCH_REMAT=1 (per-block remat), BENCH_GRAD_ACCUM
+(micro-batch accumulation inside the step), BENCH_DROPOUT_IMPL
 (xla|bits16|bits8|pallas), BENCH_RNG_IMPL, BENCH_GELU.
 """
 
@@ -167,6 +168,9 @@ def bench_train(platform: str) -> dict:
         "model.model_name": os.environ.get("BENCH_MODEL",
                                            "prithvi_eo_v1_100"),
         "tpu.remat": os.environ.get("BENCH_REMAT", "0") == "1",
+        # Gradient accumulation (train.grad_accum): micro-batch scan in
+        # the step — the HBM lever for the 600M variant without remat.
+        "train.grad_accum": int(os.environ.get("BENCH_GRAD_ACCUM", "1")),
         "tpu.dropout_impl": os.environ.get("BENCH_DROPOUT_IMPL", "xla"),
         "tpu.attn_impl": os.environ.get("BENCH_ATTN", "xla"),
         "model.load_pretrained_weights": False,
@@ -200,8 +204,21 @@ def bench_train(platform: str) -> dict:
     # Per-step FLOPs from the single-step program (cost analysis of the
     # scan program counts the body only once on current XLA, so it is not
     # used as the source of truth).
-    flops = _step_flops(trainer._train_step, trainer.state, xd, yd, key,
-                        metrics0)
+    ga = trainer.grad_accum
+    if ga > 1:
+        # Same undercount applies to the in-step accumulation scan:
+        # lower one micro-batch fwd+bwd (local, nothing executes) and
+        # scale by the micro count. The optimizer/metrics epilogue is
+        # O(params) elementwise — noise next to the matmul FLOPs.
+        mb = batch // ga
+        micro = jax.jit(lambda p, bs, xm, ym, r: trainer._micro_grads(
+            p, bs, xm, ym, r))
+        flops = ga * _step_flops(
+            micro, trainer.state.params, trainer.state.batch_stats,
+            xd[:mb], yd[:mb], key)
+    else:
+        flops = _step_flops(trainer._train_step, trainer.state, xd, yd,
+                            key, metrics0)
 
     if spc > 1:
         xs = jnp.asarray(np.stack([np.asarray(xd)] * spc))
