@@ -210,7 +210,7 @@ def bench_train(platform: str) -> dict:
         # lower one micro-batch fwd+bwd (local, nothing executes) and
         # scale by the micro count. The optimizer/metrics epilogue is
         # O(params) elementwise — noise next to the matmul FLOPs.
-        mb = batch // ga
+        mb = xd.shape[0] // ga  # padded batch — the shape that executes
         micro = jax.jit(lambda p, bs, xm, ym, r: trainer._micro_grads(
             p, bs, xm, ym, r))
         flops = ga * _step_flops(

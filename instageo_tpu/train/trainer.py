@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from instageo_tpu.parallel.mesh import (
+    DATA_AXIS,
     Mesh,
     make_mesh,
     pad_batch,
@@ -280,9 +281,17 @@ class Trainer:
         step — one forward+backward each under a ``lax.scan`` (so only one
         micro-batch of activations is live at a time; an alternative to
         ``tpu.remat``'s ~24% recompute tax for HBM-bound configs), grads
-        averaged, ONE optimizer update. BatchNorm statistics update per
+        combined, ONE optimizer update. BatchNorm statistics update per
         micro-batch (the running-average semantics every framework has
         under accumulation); metrics see every micro-batch.
+
+        Micro gradients are weighted by each micro-batch's VALID-pixel
+        count, not an equal 1/a: every loss this trainer builds
+        normalizes by the valid count (train/losses.py), so this
+        reproduces the full-batch gradient exactly even when ignore-
+        labeled padding concentrates in the tail micro-batches (a plain
+        average would silently scale gradients down by the padded
+        fraction). Reported losses get the same weighting.
         """
         a = self.grad_accum
         b = x.shape[0]
@@ -291,24 +300,30 @@ class Trainer:
         if self.mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            spec = NamedSharding(self.mesh, P(None, "data"))
+            spec = NamedSharding(self.mesh, P(None, DATA_AXIS))
             xs = jax.lax.with_sharding_constraint(xs, spec)
             ys = jax.lax.with_sharding_constraint(ys, spec)
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(a))
+        ign = float(self.ignore_index) if self.is_reg else self.ignore_index
+        w = (ys != ign).reshape(a, -1).sum(axis=1).astype(jnp.float32)
+        w_total = jnp.maximum(w.sum(), 1.0)
 
         def micro(carry, inp):
             bs, gsum, m = carry
-            xb, yb, r = inp
+            xb, yb, r, wi = inp
             loss, logits, bs, grads = self._micro_grads(
                 state.params, bs, xb, yb, r)
-            m = self._update_metrics(m, logits, yb, loss, with_auc=False)
-            gsum = jax.tree.map(jnp.add, gsum, grads)
+            # Each micro counts as one metrics batch; scaling its loss by
+            # wi·a/Σw keeps the epoch mean the valid-pixel-weighted mean.
+            m = self._update_metrics(m, logits, yb,
+                                     loss * wi * a / w_total, with_auc=False)
+            gsum = jax.tree.map(lambda s, g: s + wi * g, gsum, grads)
             return (bs, gsum, m), None
 
         gzero = jax.tree.map(jnp.zeros_like, state.params)
         (batch_stats, gsum, metrics), _ = jax.lax.scan(
-            micro, (state.batch_stats, gzero, metrics), (xs, ys, rngs))
-        grads = jax.tree.map(lambda g: g / a, gsum)
+            micro, (state.batch_stats, gzero, metrics), (xs, ys, rngs, w))
+        grads = jax.tree.map(lambda g: g / w_total, gsum)
         return grads, {"batch_stats": batch_stats}, metrics
 
     def _train_step_body(self, state: TrainState, x, labels, rng,
@@ -432,14 +447,21 @@ class Trainer:
         out = shard_batch((x, y), self.mesh)
         return out[0], out[1]
 
-    def _prepare_host(self, x, y, batch_size):
-        """Pad + cast on the host (no device placement)."""
+    def _prepare_host(self, x, y, batch_size, accum: Optional[int] = None):
+        """Pad + cast on the host (no device placement).
+
+        ``accum``: micro-batch count the padded batch must divide into —
+        the TRAIN paths pass ``self.grad_accum``; eval paths pass 1
+        (accumulation only exists in the train step, and padding eval
+        batches to the accumulation unit would waste FLOPs/transfer).
+        """
         fill = self.ignore_index if not self.is_reg else float(self.ignore_index)
         # Static shapes for jit + divisibility for the data-parallel mesh:
-        # pad up to the next multiple of the mesh size >= batch_size.
+        # pad up to the next multiple of the mesh size >= batch_size
         # (and, under grad accumulation, each micro-batch must divide
-        # the mesh too: pad to a multiple of grad_accum * mesh size).
-        unit = int(self.mesh.devices.size) * self.grad_accum
+        # the mesh too: a multiple of grad_accum * mesh size).
+        accum = self.grad_accum if accum is None else max(1, int(accum))
+        unit = int(self.mesh.devices.size) * accum
         target = max(batch_size, int(np.asarray(x).shape[0]))
         target = ((target + unit - 1) // unit) * unit
         x, y, _ = pad_batch((np.asarray(x), np.asarray(y)), target, fill,
@@ -452,8 +474,8 @@ class Trainer:
             x = x.astype(ml_dtypes.bfloat16)
         return x, y
 
-    def _prepare(self, x, y, batch_size):
-        x, y = self._prepare_host(x, y, batch_size)
+    def _prepare(self, x, y, batch_size, accum: Optional[int] = None):
+        x, y = self._prepare_host(x, y, batch_size, accum)
         return self._shard(x, y)
 
     def _epoch_rng(self, rng: jax.Array) -> jax.Array:
@@ -534,7 +556,7 @@ class Trainer:
         collected_p, collected_y = [], []
         for x, y in batches:
             n_real = np.asarray(x).shape[0]
-            x, y = self._prepare(x, y, batch_size)
+            x, y = self._prepare(x, y, batch_size, accum=1)
             collect = collect_outputs and self.is_reg
             metrics, logits = self._eval_step(self.state, x, y, metrics,
                                               with_auc, collect)
@@ -572,7 +594,7 @@ class Trainer:
             return metrics
 
         for x, y in batches:
-            group.append(self._prepare_host(x, y, batch_size))
+            group.append(self._prepare_host(x, y, batch_size, accum=1))
             if len(group) == k:
                 metrics = flush(group, metrics)
                 group = []

@@ -69,6 +69,7 @@ def test_grad_accum_matches_manual_microbatch_oracle():
 
     bs = state0_bs
     gsum = None
+    wsum = 0.0
     mb = xb.shape[0] // 2  # _prepare pads to grad_accum * mesh multiple
     for i in range(2):
         r = jax.random.fold_in(step_rng, i)
@@ -76,8 +77,14 @@ def test_grad_accum_matches_manual_microbatch_oracle():
         (_, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state0_params, bs, xm, ym, r)
         bs = mut["batch_stats"]
-        gsum = grads if gsum is None else jax.tree.map(jnp.add, gsum, grads)
-    expect_grads = jax.tree.map(lambda g: g / 2.0, gsum)
+        # Micro grads weight by valid-pixel count (every loss normalizes
+        # by it), so the result equals the FULL-batch gradient even when
+        # _prepare's padding fills a whole micro with ignore labels.
+        w = float(np.asarray(jax.device_get(ym != -1)).sum())
+        wsum += w
+        wg = jax.tree.map(lambda g: g * w, grads)
+        gsum = wg if gsum is None else jax.tree.map(jnp.add, gsum, wg)
+    expect_grads = jax.tree.map(lambda g: g / max(wsum, 1.0), gsum)
 
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
@@ -103,12 +110,61 @@ def test_grad_accum_composes_with_mesh_scan_fsdp():
 
 
 def test_grad_accum_pads_batch_to_micro_divisibility():
-    """Partial batches pad to a multiple of grad_accum * mesh size."""
+    """Partial TRAIN batches pad to a multiple of grad_accum * mesh size;
+    eval batches only to the mesh size (no accumulation there)."""
     cfg = _cfg(**{"train.grad_accum": 4})
     model, variables = create_model(cfg)
     trainer = Trainer(cfg, model, variables, mesh=make_mesh(8))
     x, y = _data(b=5, seed=1)
     xp, yp = trainer._prepare_host(x, y, 5)
     assert xp.shape[0] % (4 * 8) == 0
+    xe, ye = trainer._prepare_host(x, y, 5, accum=1)
+    assert xe.shape[0] == 8  # eval: mesh multiple only
     m = trainer.run_train_epoch(iter([(x, y)]), jax.random.PRNGKey(0), 5)
     assert np.isfinite(m["train_loss"])
+
+
+def test_grad_accum_padding_does_not_dilute_gradients():
+    """An all-ignore micro-batch must contribute NOTHING: micro grads are
+    weighted by valid-pixel count, so grads equal the real micro's grads
+    exactly (an equal 1/a average would halve them) and the reported
+    loss is the real micro's loss."""
+    cfg = _cfg(**{"train.grad_accum": 2})
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
+
+    x, y = _data(b=8, seed=2)
+    y[4:] = -1  # second micro-batch is 100% ignore-labeled padding
+    xd = jnp.asarray(x)
+    yd = jnp.asarray(y)
+    step_rng = jax.random.fold_in(trainer._epoch_rng(jax.random.PRNGKey(0)), 0)
+    grads, mut, metrics = trainer._accum_grads(
+        trainer.state, xd, yd, step_rng, EpochMetrics.empty(2))
+
+    # Oracle: the real micro alone, same rng fold as micro 0.
+    loss0, _, _, g0 = trainer._micro_grads(
+        trainer.state.params, trainer.state.batch_stats,
+        xd[:4], yd[:4], jax.random.fold_in(step_rng, 0))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
+        jax.device_get(grads), jax.device_get(g0))
+    # Epoch-mean loss (loss_sum / batches) is the real micro's loss.
+    np.testing.assert_allclose(
+        float(metrics.loss_sum) / float(metrics.batches), float(loss0),
+        rtol=1e-6)
+
+
+def test_grad_accum_composes_with_tp():
+    """grad_accum under a 2D (data, model) tensor-parallel mesh."""
+    from instageo_tpu.parallel.mesh import mesh_from_config
+
+    cfg = _cfg(**{"train.grad_accum": 2, "train.batch_size": 8,
+                  "tpu.tp": 2, "tpu.zero1": True})
+    model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables,
+                      mesh=mesh_from_config(cfg.get("tpu")))
+    x, y = _data(b=8, seed=9)
+    m = trainer.run_train_epoch(iter([(x, y)]), jax.random.PRNGKey(0), 8)
+    assert np.isfinite(m["train_loss"])
+    assert int(jax.device_get(trainer.state.step)) == 1
