@@ -211,11 +211,9 @@ def bench_train(platform: str) -> dict:
         # scale by the micro count. The optimizer/metrics epilogue is
         # O(params) elementwise — noise next to the matmul FLOPs.
         mb = xd.shape[0] // ga  # padded batch — the shape that executes
-        micro = jax.jit(lambda p, bs, xm, ym, r: trainer._micro_grads(
-            p, bs, xm, ym, r))
         flops = ga * _step_flops(
-            micro, trainer.state.params, trainer.state.batch_stats,
-            xd[:mb], yd[:mb], key)
+            jax.jit(trainer._micro_grads), trainer.state.params,
+            trainer.state.batch_stats, xd[:mb], yd[:mb], key)
     else:
         flops = _step_flops(trainer._train_step, trainer.state, xd, yd,
                             key, metrics0)

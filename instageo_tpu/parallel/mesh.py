@@ -79,13 +79,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(put, batch)
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``(k, B, ...)`` stacks: batch (second) axis over the
+    data mesh, leading (scan/micro) axis unsharded. Used both for staging
+    multi-step scan inputs and for the in-step grad-accumulation reshape
+    (train/trainer.py)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_stacked_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put ``(k, B, ...)`` step-stacked arrays, sharding the BATCH
     (second) axis over the data mesh; the leading axis is the scan axis of
     a multi-step training call and stays unsharded."""
     if _single_device(mesh):
         return jax.tree.map(lambda x: jax.device_put(np.asarray(x)), batch)
-    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    sharding = stacked_batch_sharding(mesh)
     return jax.tree.map(
         lambda x: jax.device_put(np.asarray(x), sharding), batch)
 

@@ -30,13 +30,13 @@ import numpy as np
 import optax
 
 from instageo_tpu.parallel.mesh import (
-    DATA_AXIS,
     Mesh,
     make_mesh,
     pad_batch,
     replicate_tree,
     shard_batch,
     shard_stacked_batch,
+    stacked_batch_sharding,
     zero1_place,
 )
 from instageo_tpu.train.losses import (
@@ -298,9 +298,7 @@ class Trainer:
         xs = x.reshape(a, b // a, *x.shape[1:])
         ys = labels.reshape(a, b // a, *labels.shape[1:])
         if self.mesh.devices.size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            spec = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            spec = stacked_batch_sharding(self.mesh)
             xs = jax.lax.with_sharding_constraint(xs, spec)
             ys = jax.lax.with_sharding_constraint(ys, spec)
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(a))

@@ -4,7 +4,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from instageo_tpu.configs.config import load_config
 from instageo_tpu.parallel.mesh import make_mesh
