@@ -211,11 +211,26 @@ def reset_local_conns() -> None:
 def upsert_user(sub: str, email: str = "", name: str = "",
                 db_path: Optional[str] = None) -> None:
     conn = get_conn(db_path)
+    # Keep previously enriched profile fields when the caller has none
+    # (access-token claims rarely carry email/name; /userinfo does).
     conn.execute(
         "INSERT INTO users(sub, email, name, created_at) VALUES(?,?,?,?) "
-        "ON CONFLICT(sub) DO UPDATE SET email=excluded.email, name=excluded.name",
+        "ON CONFLICT(sub) DO UPDATE SET "
+        "email=CASE WHEN excluded.email != '' THEN excluded.email "
+        "ELSE users.email END, "
+        "name=CASE WHEN excluded.name != '' THEN excluded.name "
+        "ELSE users.name END",
         (sub, email, name, time.time()))
     conn.commit()
+
+
+def get_user(sub: str, db_path: Optional[str] = None
+             ) -> Optional[Dict[str, Any]]:
+    conn = get_conn(db_path)
+    row = conn.execute(
+        "SELECT sub, email, name, created_at FROM users WHERE sub=?",
+        (sub,)).fetchone()
+    return dict(row) if row else None
 
 
 # -- tasks -------------------------------------------------------------------

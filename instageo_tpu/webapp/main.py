@@ -22,7 +22,7 @@ from typing import Any, Dict
 
 from aiohttp import web
 
-from instageo_tpu.webapp import db, queue
+from instageo_tpu.webapp import auth, db, queue
 from instageo_tpu.webapp.auth import AuthError, get_current_user, is_task_owner
 from instageo_tpu.webapp.settings import settings
 from instageo_tpu.webapp.tasks import Task, TaskStatus
@@ -84,6 +84,13 @@ async def run_model(request: web.Request) -> web.Response:
         body = await request.json()
     except json.JSONDecodeError:
         return web.json_response({"detail": "Invalid JSON body"}, status=400)
+    if not isinstance(body, dict):
+        return web.json_response({"detail": "Body must be a JSON object"},
+                                 status=422)
+    if body.get("parameters") is not None \
+            and not isinstance(body["parameters"], dict):
+        return web.json_response(
+            {"detail": "parameters must be a JSON object"}, status=422)
     bboxes = body.get("bboxes")
     model_key = body.get("model_key") or body.get("model")
     if not bboxes or not isinstance(bboxes, list):
@@ -137,8 +144,29 @@ async def run_model(request: web.Request) -> web.Response:
                 model_size=meta.get("size") or "",
                 db_path=request.app["db_path"])
 
+    auth_header = request.headers.get("Authorization", "")
+    token = auth_header[len("Bearer "):] \
+        if auth_header.startswith("Bearer ") else ""
+
     def _persist_and_enqueue():
-        db.upsert_user(user.get("sub", ""), user.get("email", ""),
+        email = user.get("email", "")
+        name = user.get("name", "")
+        if not settings.AUTH_DISABLED and token and not email:
+            # Access tokens rarely carry profile claims; enrich the user
+            # row from Auth0 /userinfo like the reference does on
+            # first sight (reference auth.py:104-159) — only when the
+            # row isn't already enriched (one network call per user,
+            # not per task).
+            existing = db.get_user(user.get("sub", ""),
+                                   db_path=request.app["db_path"])
+            if not (existing and existing.get("email")):
+                try:
+                    info = auth.get_userinfo(token)
+                    email = info.get("email") or ""
+                    name = info.get("name") or ""
+                except Exception as e:
+                    log.warning("userinfo enrichment failed: %s", e)
+        db.upsert_user(user.get("sub", ""), email, name,
                        db_path=request.app["db_path"])
         task.save()
         task.start_data_processing()
@@ -185,9 +213,14 @@ async def list_jobs_handler(request: web.Request) -> web.Response:
     restricted to tasks the caller owns (args/errors carry bboxes and
     tracebacks — same ownership rule as /api/tasks)."""
     q = request.rel_url.query
+    try:
+        limit = int(q.get("limit", 100))
+    except ValueError:
+        return web.json_response(
+            {"detail": "limit must be an integer"}, status=422)
     jobs = await _off_loop(
         queue.list_jobs, queue_name=q.get("queue"), status=q.get("status"),
-        limit=min(int(q.get("limit", 100)), 500),
+        limit=min(limit, 500),
         db_path=request.app["db_path"])
     if not settings.AUTH_DISABLED:
         user_sub = request.get("user", {}).get("sub")

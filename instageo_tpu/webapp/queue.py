@@ -14,6 +14,7 @@ import json
 import logging
 import multiprocessing
 import os
+import signal
 import time
 import traceback
 import uuid
@@ -133,6 +134,32 @@ def _job_child(job: Dict, db_path: Optional[str]) -> None:
     run_job(job, db_path)
 
 
+# The worker's in-flight job child (per worker process): the SIGTERM
+# handler must kill it on shutdown, or terminating the worker while it
+# blocks in join() re-parents the child to init and the job keeps
+# running (and using the TPU) after the app is gone.
+_current_child = None
+_current_job: Optional[Dict] = None
+
+
+def _terminate_current_child(db_path: Optional[str] = None) -> None:
+    child, job = _current_child, _current_job
+    if child is not None and child.is_alive():
+        child.terminate()
+        child.join(5.0)
+        if child.is_alive():
+            child.kill()
+        if job is not None:
+            try:
+                _finish(job["job_id"], JobStatus.FAILED,
+                        error="worker stopped during shutdown",
+                        db_path=db_path)
+                _fail_task_for(job, "worker stopped during shutdown",
+                               db_path)
+            except Exception:
+                pass  # bookkeeping is best-effort inside a signal handler
+
+
 def run_job_isolated(job: Dict, db_path: Optional[str] = None) -> bool:
     """Run a claimed job in a killable child process, enforcing timeout_s.
 
@@ -140,10 +167,15 @@ def run_job_isolated(job: Dict, db_path: Optional[str] = None) -> bool:
     timeout): without it a hung job blocks its single worker loop forever
     and the queue is wedged even after reap_timeouts marks it timed_out.
     """
+    global _current_child, _current_job
     timeout_s = job.get("timeout_s") or DEFAULT_TIMEOUTS.get(job["queue"], 3600.0)
     proc = _mp.Process(target=_job_child, args=(job, db_path))
+    _current_child, _current_job = proc, job
     proc.start()
-    proc.join(timeout_s)
+    try:
+        proc.join(timeout_s)
+    finally:
+        _current_child = _current_job = None
     if proc.is_alive():
         proc.terminate()
         proc.join(10.0)
@@ -285,6 +317,14 @@ def worker_loop(queue: str, db_path: Optional[str] = None,
 
 def _worker_main(queue: str, db_path: Optional[str]) -> None:
     db.reset_local_conns()
+
+    def on_sigterm(signum, frame):
+        # stop_workers terminates the worker while it blocks in the job
+        # child's join(); kill the child too or it outlives the app.
+        _terminate_current_child(db_path)
+        os._exit(143)
+
+    signal.signal(signal.SIGTERM, on_sigterm)
     worker_loop(queue, db_path)
 
 
@@ -324,7 +364,8 @@ def get_queues_status(db_path: Optional[str] = None) -> Dict[str, Dict]:
     for q in ALL_QUEUES:
         counts = {}
         for status in (JobStatus.QUEUED, JobStatus.STARTED,
-                       JobStatus.FINISHED, JobStatus.FAILED):
+                       JobStatus.FINISHED, JobStatus.FAILED,
+                       JobStatus.TIMED_OUT):
             (n,) = conn.execute(
                 "SELECT COUNT(*) FROM jobs WHERE queue=? AND status=?",
                 (q, status)).fetchone()

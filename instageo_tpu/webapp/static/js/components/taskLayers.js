@@ -29,12 +29,17 @@ export function createTaskLayersManager(map) {
       params.push(`colormap=${encodeURIComponent(
         generateTiTilerColormap(taskLayer.classIndices))}`);
     }
-    // <img>-loaded tiles can't carry an Authorization header; the
-    // backend's tile routes accept the bearer token as a query param.
-    const token = getAccessTokenSync();
-    if (token) params.push(`access_token=${encodeURIComponent(token)}`);
     if (params.length) url += `?${params.join("&")}`;
     return url;
+  }
+
+  // <img>-loaded tiles can't carry an Authorization header; the backend's
+  // tile routes accept the bearer token as a query param. Computed per
+  // tile LOAD (TileLayer opts.urlParams), never baked into the template —
+  // a baked token goes stale at expiry and every pan would 401.
+  function tokenParams() {
+    const token = getAccessTokenSync();
+    return token ? `access_token=${encodeURIComponent(token)}` : "";
   }
 
   function syncMapLayers() {
@@ -62,12 +67,14 @@ export function createTaskLayersManager(map) {
           entry.satellite = new TileLayer(satUrl, {
             bounds, zIndex: 5, opacity: t.satelliteOpacity,
             minZoom: t.minZoom || 0, maxZoom: t.maxZoom || 19,
+            urlParams: tokenParams, fallbackOnError: false,
           }).addTo(map);
         }
         if (predUrl) {
           entry.prediction = new TileLayer(predUrl, {
             bounds, zIndex: 6, opacity: t.predictionOpacity,
             minZoom: t.minZoom || 0, maxZoom: t.maxZoom || 19,
+            urlParams: tokenParams, fallbackOnError: false,
           }).addTo(map);
         }
         live.set(t.id, entry);
@@ -83,7 +90,15 @@ export function createTaskLayersManager(map) {
     }
   }
 
+  // Opacity drags fire store updates per input tick; rebuilding the
+  // control then would destroy the <input type=range> mid-drag (the same
+  // re-render-kills-the-focused-input trap tasksMonitor.buildToolbar
+  // documents), so the subscriber skips the rebuild for pure-opacity
+  // changes — the slider the user is holding already shows the value.
+  let lastChangeWasOpacity = false;
+
   function changeTaskLayer(id, layerType, changeType, value) {
+    lastChangeWasOpacity = changeType === "opacity";
     let layers = appStore.get("taskLayers");
     if (changeType === "remove") {
       layers = layers.filter((t) => t.id !== id);
@@ -179,7 +194,11 @@ export function createTaskLayersManager(map) {
   appStore.subscribe((state, patch) => {
     if ("taskLayers" in patch) {
       syncMapLayers();
-      renderControl();
+      if (lastChangeWasOpacity) {
+        lastChangeWasOpacity = false;
+      } else {
+        renderControl();
+      }
     }
   });
 

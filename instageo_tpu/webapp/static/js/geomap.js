@@ -152,12 +152,19 @@ function fallbackTileURL(z, x, y) {
 
 export class TileLayer extends Evented {
   /** opts: {minZoom, maxZoom, opacity, bounds (LatLngBounds|null), zIndex,
-   *         className, crossOrigin} */
+   *         className, crossOrigin,
+   *         urlParams: optional () => string — extra query params computed
+   *           at TILE LOAD TIME (e.g. a fresh bearer token; baking it into
+   *           the template would go stale after token expiry),
+   *         fallbackOnError: swap failed tiles for the offline grid
+   *           (default true; data overlays pass false so an auth/server
+   *           error shows as a missing tile, not plausible-looking data)} */
   constructor(urlTemplate, opts = {}) {
     super();
     this.url = urlTemplate;
     this.opts = Object.assign(
-      { minZoom: 0, maxZoom: 19, opacity: 1, bounds: null, zIndex: 1 },
+      { minZoom: 0, maxZoom: 19, opacity: 1, bounds: null, zIndex: 1,
+        urlParams: null, fallbackOnError: true },
       opts
     );
     this.pane = null;
@@ -184,11 +191,16 @@ export class TileLayer extends Evented {
   _tileURL(z, x, y) {
     const n = Math.pow(2, z);
     const wrapped = ((x % n) + n) % n;
-    return this.url
+    let url = this.url
       .replace("{z}", z)
       .replace("{x}", wrapped)
       .replace("{y}", y)
       .replace("{s}", "abc"[(wrapped + y) % 3]);
+    if (this.opts.urlParams) {
+      const extra = this.opts.urlParams();
+      if (extra) url += (url.includes("?") ? "&" : "?") + extra;
+    }
+    return url;
   }
 
   _tileInBounds(z, x, y) {
@@ -236,9 +248,11 @@ export class TileLayer extends Evented {
           img.alt = "";
           img.decoding = "async";
           img.onerror = () => {
-            if (!img._fellBack) {
+            if (this.opts.fallbackOnError && !img._fellBack) {
               img._fellBack = true;
               img.src = fallbackTileURL(z, x, y);
+            } else {
+              img.style.visibility = "hidden";
             }
           };
           img.src = this._tileURL(z, x, y);

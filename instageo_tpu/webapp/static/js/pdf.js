@@ -7,9 +7,30 @@
 const A4 = { w: 210, h: 297 }; // mm
 const MM_TO_PT = 72 / 25.4;
 
-function esc(s) {
-  return String(s).replace(/\\/g, "\\\\").replace(/\(/g, "\\(")
-    .replace(/\)/g, "\\)");
+// Common CP1252 (WinAnsi) codes for characters above Latin-1's range.
+const WINANSI_EXTRA = {
+  "€": 0x80, "…": 0x85, "‘": 0x91, "’": 0x92,
+  "“": 0x93, "”": 0x94, "•": 0x95, "–": 0x96,
+  "—": 0x97, "™": 0x99,
+};
+
+export function esc(s) {
+  // PDF literal strings are BYTE strings under the font's encoding
+  // (/WinAnsiEncoding here) — emit non-ASCII as octal byte escapes, not
+  // raw UTF-8 (viewers would render multi-byte sequences as mojibake,
+  // e.g. '·' -> 'Â·'). Characters outside WinAnsi degrade to '?'.
+  let out = "";
+  for (const ch of String(s)) {
+    if (ch === "\\") { out += "\\\\"; continue; }
+    if (ch === "(") { out += "\\("; continue; }
+    if (ch === ")") { out += "\\)"; continue; }
+    const c = WINANSI_EXTRA[ch] ?? ch.codePointAt(0);
+    if (c >= 32 && c < 127) out += ch;
+    else if (c >= 0x80 && c <= 0xff) {
+      out += "\\" + c.toString(8).padStart(3, "0");
+    } else out += "?";
+  }
+  return out;
 }
 
 // Rough Helvetica advance widths (per 1000 units) for text centering.
@@ -135,7 +156,8 @@ export class MiniPDF {
 
     push("%PDF-1.4\n");
     const fontN = obj(
-      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>");
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>");
     const imageNs = {};
     for (const img of this.images) {
       offsets.push(pos);

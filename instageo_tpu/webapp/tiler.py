@@ -171,7 +171,10 @@ class COGTiler:
             rgba[other] = (128, 0, 128, 200)
         else:
             lo, hi = value_range
-            bands = data[:3].astype(np.float32)
+            # 'gray': single-band grayscale stretch (the OpenAPI-documented
+            # third mode); anything else: 3-band rgb stretch.
+            bands = (data[:1] if mode == "gray" else data[:3]).astype(
+                np.float32)
             scaled = np.clip((bands - lo) / max(hi - lo, 1e-6), 0, 1) * 255
             if scaled.shape[0] < 3:
                 scaled = np.repeat(scaled[:1], 3, axis=0)
@@ -191,9 +194,12 @@ class COGTiler:
             if max(ifd.width, ifd.height) >= max_size:
                 break
             level -= 1
-        data = self._level(level)[:, :max_size * 4, :max_size * 4]
-        step = max(1, max(data.shape[-2:]) // max_size)
-        data = data[:, ::step, ::step]
+        data = self._level(level)
+        # Decimate the WHOLE level to <= max_size (cropping first would
+        # return a corner of any level much larger than max_size, e.g. a
+        # COG without overviews).
+        step = max(1, -(-max(data.shape[-2:]) // max_size))  # ceil div
+        data = data[:, ::step, ::step][:, :max_size, :max_size]
         h, w = data.shape[-2:]
         rgba = np.zeros((h, w, 4), np.uint8)
         if mode == "classes":
@@ -204,7 +210,8 @@ class COGTiler:
                     tuple(color) if len(color) == 4 else (*color, 200))
         else:
             lo, hi = value_range
-            bands = data[:3].astype(np.float32)
+            bands = (data[:1] if mode == "gray" else data[:3]).astype(
+                np.float32)
             scaled = np.clip((bands - lo) / max(hi - lo, 1e-6), 0, 1) * 255
             if scaled.shape[0] < 3:
                 scaled = np.repeat(scaled[:1], 3, axis=0)
