@@ -44,15 +44,23 @@ class DynamicBatcher:
     def __init__(
         self,
         predict_fn: Callable[[np.ndarray], Any],
-        max_batch: int = 64,
+        max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
         buckets: Optional[Sequence[int]] = None,
     ) -> None:
         if buckets is None:
-            buckets = [1 << i for i in range(max_batch.bit_length())
-                       if (1 << i) <= max_batch]
-            if buckets[-1] != max_batch:
-                buckets.append(max_batch)
+            mb = 64 if max_batch is None else int(max_batch)
+            buckets = [1 << i for i in range(mb.bit_length())
+                       if (1 << i) <= mb]
+            if buckets[-1] != mb:
+                buckets.append(mb)
+        elif max_batch is not None and max(buckets) != int(max_batch):
+            # Explicit buckets define the padded shapes AND the cap
+            # (max_batch = buckets[-1]); a conflicting max_batch would be
+            # silently ignored — make the caller pick one.
+            raise ValueError(
+                f"buckets[-1]={max(buckets)} conflicts with "
+                f"max_batch={max_batch}; the largest bucket IS the cap")
         self.buckets = sorted(set(int(b) for b in buckets))
         self.max_batch = self.buckets[-1]
         self.max_wait_s = max_wait_ms / 1e3

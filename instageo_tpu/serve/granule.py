@@ -28,25 +28,27 @@ from instageo_tpu.ops.preprocess import preprocess_chips
 log = logging.getLogger(__name__)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "chip_size", "temporal_size", "bands",
-                     "constant_multiplier", "is_reg_task", "no_data_value"))
 def _predict_tile_batch(model, variables, tile, coords_batch, mean, std, *,
                         chip_size, temporal_size, bands,
                         constant_multiplier, is_reg_task, no_data_value):
-    """Jitted once per (model, static config) at MODULE scope: defining it
-    inside granule_inference with the tile closed over would retrace and
-    recompile per granule (minutes each through the remote-compile
-    service) and embed the multi-hundred-MB tile as a jaxpr constant."""
+    """One chip batch: extract -> preprocess -> forward -> nodata mask.
+
+    Traced only inside ``_predict_tile_stitched`` (the single jitted
+    whole-tile program); not separately jitted — a second jit wrapper
+    would be dead code and, called directly per granule, would embed the
+    multi-hundred-MB tile as a compile-time constant."""
     chips = extract_chips_px(tile, coords_batch, chip_size)
     x = preprocess_chips(chips, mean, std, temporal_size=temporal_size,
                          bands=bands,
                          constant_multiplier=constant_multiplier)
     logits = model.apply(variables, x, train=False, channels_last=True)
-    # Pixels with no input data in ANY band get the output nodata value
-    # (-1 for seg, NaN for reg) instead of a confident prediction.
-    no_data = (chips == no_data_value).all(axis=1)
+    # Pixels with no input data in any band THE MODEL SEES get the output
+    # nodata value (-1 for seg, NaN for reg) instead of a confident
+    # prediction. The mask must use the selected band subset: a pixel can
+    # be fill in every model band yet valid in an unselected (e.g. QA)
+    # band, and masking over the full stack would miss it.
+    sel = chips if bands is None else chips[:, list(bands)]
+    no_data = (sel == no_data_value).all(axis=1)
     if is_reg_task:
         preds = logits[..., 0].astype(jnp.float32)
         return jnp.where(no_data, jnp.nan, preds)
@@ -82,7 +84,7 @@ def _predict_tile_stitched(model, variables, tile, coords, bounds, mean, std,
 
     def batch_step(canvas, batch):
         coords_b, bounds_b = batch
-        preds = _predict_tile_batch.__wrapped__(
+        preds = _predict_tile_batch(
             model, variables, tile, coords_b, mean, std, chip_size=cs,
             temporal_size=temporal_size, bands=bands,
             constant_multiplier=constant_multiplier, is_reg_task=is_reg_task,

@@ -14,7 +14,7 @@ import logging
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterable, Tuple
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +42,13 @@ def save_prediction(
     name = os.path.basename(source_chip_path).replace("chip", "prediction")
     out_path = os.path.join(out_dir, name)
     arr = prediction.astype(np.float32 if is_reg_task else np.int8)
-    if arr.shape != src_hw:
+    if arr.shape != src_hw and transform is not None:
         # The model predicted a CENTER CROP of the chip (img_size <
         # chip_size — preprocess center-crops); anchor the raster at the
         # crop's origin, not the chip's, or every prediction lands
-        # shifted by the crop margin.
+        # shifted by the crop margin. (An ungeoreferenced source chip —
+        # transform None — is written ungeoreferenced, like the
+        # equal-size path.)
         row_off = (src_hw[0] - arr.shape[0]) // 2
         col_off = (src_hw[1] - arr.shape[1]) // 2
         x0, y0 = transform * (col_off, row_off)
@@ -68,7 +70,10 @@ def make_predict_fn(model: Any, variables: Dict, is_reg_task: bool = False,
         if is_reg_task:
             return logits[..., 0].astype(jnp.float32)
         if probabilities:
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+            # Full per-class softmax (..., C) — a [..., 1] slice would
+            # bake in a binary-task assumption (13-class crop model in
+            # the registry).
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
     return predict
@@ -134,7 +139,11 @@ def chip_inference_from_paths(
     t0 = time.time()
     pending = None
     next_raw = decode_batch(chip_paths[:batch_size])
-    with ThreadPoolExecutor(num_write_threads) as pool:
+    # Decode gets its OWN single-thread executor: sharing the write pool
+    # would queue the next batch's decode behind up to batch_size TIFF
+    # writes, serializing decode after write and idling the device.
+    with ThreadPoolExecutor(num_write_threads) as pool, \
+            ThreadPoolExecutor(1) as decode_pool:
         futures = []
 
         def flush(preds_dev, files):
@@ -148,7 +157,7 @@ def chip_inference_from_paths(
             raw = next_raw
             # prefetch the next batch decode while the device runs
             nxt = chip_paths[i + batch_size : i + 2 * batch_size]
-            decode_fut = pool.submit(decode_batch, nxt) if nxt else None
+            decode_fut = decode_pool.submit(decode_batch, nxt) if nxt else None
             # pad the tail to keep a single compiled shape
             if raw.shape[0] < batch_size:
                 pad = _np.zeros((batch_size - raw.shape[0],) + shape, dtype)
@@ -197,6 +206,7 @@ def chip_inference(
                 futures.append(
                     pool.submit(save_prediction, p, f, out_dir, is_reg_task))
 
+        full_batch = None
         for batch in dataloader:
             # The third element is the per-chip nodata mask from
             # infer_collate; the reference's loop discards it too
@@ -205,7 +215,16 @@ def chip_inference(
             x, files, _ = batch
             if predict is None:
                 predict = make_predict_fn(model, variables, is_reg_task)
-            preds_dev = predict(jnp.asarray(x))
+                full_batch = len(files)
+            x = np.asarray(x)
+            if x.shape[0] < full_batch:
+                # Pad the tail batch to the compiled shape: a new shape
+                # retraces, and the remote-compile service can queue for
+                # minutes — the fused path above pads for the same reason.
+                pad = np.zeros((full_batch - x.shape[0],) + x.shape[1:],
+                               x.dtype)
+                x = np.concatenate([x, pad])
+            preds_dev = predict(jnp.asarray(x))[: len(files)]
             if pending is not None:
                 flush(*pending)
             pending = (preds_dev, files)

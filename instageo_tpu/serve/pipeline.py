@@ -162,5 +162,12 @@ class EvaluationPipeline:
         return server.chip_inference(iter(self._infer_loader()), out)
 
     def cleanup(self) -> None:
-        """Release the engine (reference :319-336 shuts Ray down)."""
+        """Release the engine (reference :319-336 shuts Ray down).
+
+        Closes the server's dynamic batcher first: its worker thread
+        holds the predict closure (model + device buffers) alive and
+        never exits on its own — without this, each serve/cleanup cycle
+        in a long-lived process leaks one model's HBM."""
+        if self.server is not None and hasattr(self.server, "close"):
+            self.server.close()
         self.server = None

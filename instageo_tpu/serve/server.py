@@ -83,7 +83,15 @@ class ModelServer:
         Beyond the reference's surface: concurrent single-chip requests
         coalesce into bucketed device calls (``serve/batching.py``).
         """
-        if getattr(self, "_batcher", None) is None:
+        cached = getattr(self, "_batcher", None)
+        cfg_key = (max_batch, max_wait_ms)
+        if cached is not None and getattr(self, "_batcher_cfg", None) != cfg_key:
+            # Different knobs than the cached instance: replace it —
+            # silently returning the old one would drop the caller's
+            # latency/throughput settings.
+            cached.close()
+            cached = None
+        if cached is None:
             from instageo_tpu.serve.batching import DynamicBatcher
             from instageo_tpu.serve.infer import make_predict_fn
 
@@ -92,7 +100,16 @@ class ModelServer:
                                 is_reg_task=bool(
                                     self.cfg.get("is_reg_task", False))),
                 max_batch=max_batch, max_wait_ms=max_wait_ms)
+            self._batcher_cfg = cfg_key
         return self._batcher
+
+    def close(self) -> None:
+        """Stop the batcher worker thread (its bound-method reference
+        roots the model weights for the thread's lifetime)."""
+        batcher = getattr(self, "_batcher", None)
+        if batcher is not None:
+            batcher.close()
+            self._batcher = None
 
     def health_check(self) -> Dict[str, Any]:
         """Reference model_server.py:129-141."""

@@ -138,3 +138,15 @@ def test_shape_mismatch_fails_batch_not_worker():
     ok = b.submit(np.ones((4,)))
     assert ok.result(timeout=10) == pytest.approx(4.0)
     b.close()
+
+
+def test_buckets_max_batch_conflict_raises():
+    from instageo_tpu.serve.batching import DynamicBatcher
+
+    import pytest
+    with pytest.raises(ValueError, match="conflicts"):
+        b = DynamicBatcher(lambda x: x, max_batch=64, buckets=[8, 16])
+    # buckets-only: largest bucket is the cap, no default conflict.
+    b = DynamicBatcher(lambda x: x, buckets=[8, 16])
+    assert b.max_batch == 16
+    b.close()

@@ -115,3 +115,20 @@ def test_granule_nodata_pixels_masked():
         chip_size=32, no_data_value=0)
     assert (pred[:8, :8] == -1).all()
     assert (pred[16:, 16:] >= 0).all()
+
+
+def test_granule_nodata_mask_uses_selected_bands():
+    """A pixel that is fill in every band the MODEL sees must come back
+    -1 even when an unselected (e.g. QA) band has valid data there."""
+    rng = np.random.default_rng(3)
+    # 8-band stack; the model uses bands 0-5, band 6/7 are QA-like.
+    tile = rng.integers(1, 10000, size=(8, 32, 32)).astype(np.uint16)
+    tile[:6, :8, :8] = 0          # model bands: fill in the corner
+    tile[6:, :, :] = 7            # QA bands valid EVERYWHERE
+    model, variables = _model()
+    pred, _ = granule_inference(
+        tile, model, variables, mean=[5000.0] * 6, std=[3000.0] * 6,
+        chip_size=32, batch_size=1, bands=[0, 1, 2, 3, 4, 5],
+        no_data_value=0)
+    assert (pred[:8, :8] == -1).all()
+    assert (pred[8:, 8:] != -1).all()

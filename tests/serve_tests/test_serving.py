@@ -213,3 +213,77 @@ def test_save_prediction_anchors_center_crop(tmp_path):
                           str(tmp_path / "full"))
     with GeoTiffReader(out) as r:
         assert (r.transform.c, r.transform.f) == (tr.c, tr.f)
+
+
+def test_online_batcher_reconfigure_and_close(trained_world):
+    """Changed knobs rebuild the batcher; close() stops its worker thread
+    (a live thread roots the model weights)."""
+    from instageo_tpu.serve.server import ModelServer
+
+    root, ckpt = trained_world
+    server = ModelServer(_serving_cfg(root, ckpt))
+    b1 = server.online_batcher(max_batch=4, max_wait_ms=1)
+    assert b1.max_batch == 4
+    b2 = server.online_batcher(max_batch=8, max_wait_ms=1)
+    assert b2.max_batch == 8 and b2 is not b1
+    assert b1._closed.is_set()
+    assert server.online_batcher(max_batch=8, max_wait_ms=1) is b2
+    server.close()
+    assert b2._closed.is_set()
+
+
+def test_save_prediction_ungeoreferenced_crop(tmp_path):
+    """A source chip without a geotransform + a center-crop prediction
+    writes an ungeoreferenced raster instead of crashing on None math."""
+    from instageo_tpu.serve.infer import save_prediction
+
+    src = str(tmp_path / "chip_7.tif")
+    write_geotiff(src, np.zeros((1, 32, 32), np.int16))  # no transform/crs
+    out = save_prediction(np.ones((16, 16), np.int8), src, str(tmp_path))
+    with GeoTiffReader(out) as r:
+        assert (r.width, r.height) == (16, 16)
+    assert os.path.basename(out) == "prediction_7.tif"
+
+
+def test_loader_chip_inference_pads_tail_batch(tmp_path, trained_world):
+    """The loader path pads partial tail batches to the compiled shape
+    (a new traced shape means a fresh remote compile — minutes)."""
+    import jax.numpy as jnp
+
+    from instageo_tpu.serve import infer as infer_mod
+    from instageo_tpu.train.factory import create_model
+
+    root, ckpt = trained_world
+    model, variables = create_model(_serving_cfg(root, ckpt))
+
+    shapes = []
+    real_make = infer_mod.make_predict_fn
+
+    def spying_make(*a, **kw):
+        fn = real_make(*a, **kw)
+
+        def wrapped(x):
+            shapes.append(tuple(x.shape))
+            return fn(x)
+        return wrapped
+
+    rng = np.random.default_rng(0)
+
+    def loader():
+        for nb in (4, 2):  # full batch, then a partial tail
+            x = rng.normal(size=(nb, 6, 1, 32, 32)).astype(np.float32)
+            files = [str(tmp_path / f"chip_{i}.tif") for i in range(nb)]
+            for f in files:
+                write_geotiff(f, np.zeros((6, 32, 32), np.int16))
+            yield x, files, None
+
+    old = infer_mod.make_predict_fn
+    infer_mod.make_predict_fn = spying_make
+    try:
+        n, _ = infer_mod.chip_inference(loader(), str(tmp_path / "out"),
+                                        model, variables)
+    finally:
+        infer_mod.make_predict_fn = old
+    assert n == 6
+    # Both calls saw the SAME compiled batch shape.
+    assert shapes == [(4, 6, 1, 32, 32), (4, 6, 1, 32, 32)]
