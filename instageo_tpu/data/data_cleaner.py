@@ -125,11 +125,21 @@ def limit_seg_map_to_observation_pixels(
 ) -> Optional[str]:
     """Keep only pixels at observation points (reference :203-270).
 
-    Filename layout: ``seg_map_{date}_{sensor}_T{tile}_{...}_{x}_{y}.tif``.
+    Filename layout: ``seg_map_{date}_{tile_id}_{x}_{y}.tif`` where
+    tile_id embeds the MGRS code at a sensor-dependent position (HLS:
+    ``...L30_T38PMB_...``; S2: ``S2B_MSIL2A_..._T33TUN_...``) — so the
+    MGRS tile is located by PATTERN (``T`` + 2 digits + 3 letters), not
+    by a fixed split index, which only matched HLS names and made the
+    filter drop every S2/S1 row.
     """
-    parts = os.path.basename(seg_map_fname).split("_")
+    import re
+
+    base = os.path.basename(seg_map_fname)
+    parts = base.split("_")
     chip_date = parts[2] if len(parts) >= 4 else ""
-    mgrs_tile = parts[4][1:] if len(parts) >= 5 else ""
+    m = re.search(r"_T(\d{2}[A-Z]{3})_", base)
+    mgrs_tile = m.group(1) if m else (
+        parts[4][1:] if len(parts) >= 5 else "")
 
     with GeoTiffReader(seg_map_fname) as src:
         seg_map = src.read()

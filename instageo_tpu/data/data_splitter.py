@@ -272,7 +272,9 @@ def _try_random_split(df, random_state, test_ratio=0.2, val_ratio=0.2,
 
 
 def _try_kmeans_split(df: pd.DataFrame, n_clusters: int, test_ratio: float,
-                      val_ratio: float, output_dir: str, visualize: bool) -> None:
+                      val_ratio: float, output_dir: str, visualize: bool,
+                      random_state: int = 42, include_test: bool = True,
+                      include_val: bool = True) -> None:
     """Geo-cluster split: merge nearest clusters until targets met (ref :856)."""
     df = df.copy()
     centers = df["mgrs_tile"].map(_tile_center)
@@ -289,7 +291,7 @@ def _try_kmeans_split(df: pd.DataFrame, n_clusters: int, test_ratio: float,
     df = df.dropna(subset=["lat", "lon"])
     n_clusters = min(n_clusters, max(1, df[["lat", "lon"]].drop_duplicates().shape[0]))
     coords = StandardScaler().fit_transform(df[["lat", "lon"]])
-    km = KMeans(n_clusters=n_clusters, random_state=42, n_init=10)
+    km = KMeans(n_clusters=n_clusters, random_state=random_state, n_init=10)
     df["cluster"] = km.fit_predict(coords)
     centroids = km.cluster_centers_
 
@@ -310,9 +312,11 @@ def _try_kmeans_split(df: pd.DataFrame, n_clusters: int, test_ratio: float,
         return chosen
 
     available = set(range(n_clusters))
-    test_clusters = grow(int(len(df) * test_ratio), available, df)
+    test_clusters = (grow(int(len(df) * test_ratio), available, df)
+                     if include_test else set())
     remaining = df[~df["cluster"].isin(test_clusters)]
-    val_clusters = grow(int(len(df) * val_ratio), available, remaining)
+    val_clusters = (grow(int(len(df) * val_ratio), available, remaining)
+                    if include_val else set())
 
     test_df = df[df["cluster"].isin(test_clusters)].copy()
     val_df = remaining[remaining["cluster"].isin(val_clusters)].copy()
@@ -347,7 +351,10 @@ def split_dataset(
     if use_kmeans and df["mgrs_tile"].notna().any():
         logging.info("Using KMeans clustering strategy")
         _try_kmeans_split(df, n_clusters, test_ratio, val_ratio,
-                          output_dir, save_viz)
+                          output_dir, save_viz,
+                          random_state=random_state,
+                          include_test=include_test,
+                          include_val=include_val)
         return
 
     mgrs_groups = _try_mgrs_groups(df, distance_threshold)

@@ -78,6 +78,11 @@ def process_data(
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Load and preprocess an (image, label) pair (reference :707-750)."""
     arr_x = get_raster_data(im_fname, is_label=False, bands=bands)
+    if no_data_value is not None and np.issubdtype(arr_x.dtype, np.floating):
+        # Reference parity (dataloader.py:697 ``data.fillna(...)``): float
+        # rasters (S1 chips) carry NaN for missing pixels — fill with the
+        # nodata sentinel before scaling, or NaNs flow into training.
+        arr_x = np.nan_to_num(arr_x, nan=no_data_value)
     arr_x = arr_x * constant_multiplier
     arr_y = None
     if mask_fname:

@@ -113,12 +113,17 @@ def create_grid_polygons(
     like the reference's exploded GeoDataFrame.
     """
     records = []
+    # The world-edge clamp only makes sense in degrees: projected
+    # coordinates (eastings ~500000 m) would trip a 180/90 bound on
+    # every bbox and silently drop the last chip row/col (or ALL chips
+    # for a single-chip bbox).
+    max_x, max_y = (180.0, 90.0) if crs == 4326 else (np.inf, np.inf)
     for bbox in bbox_list:
         lon_min, lat_min, lon_max, lat_max = bbox
         lons = get_complete_chips_coords(lon_min, lon_max, spatial_resolution,
-                                         chip_size, 180)
+                                         chip_size, max_x)
         lats = get_complete_chips_coords(lat_min, lat_max, spatial_resolution,
-                                         chip_size, 90)
+                                         chip_size, max_y)
         n_chips_x = len(lons) // chip_size
         n_chips_y = len(lats) // chip_size
         for x in range(n_chips_x):

@@ -320,12 +320,21 @@ class TiffIFD:
         raise NotImplementedError(f"TIFF compression {comp} not supported")
 
     def _maybe_unpredict(self, arr: np.ndarray) -> np.ndarray:
-        if int(self.get(T_PREDICTOR, 1)) == 2:
+        pred = int(self.get(T_PREDICTOR, 1))
+        if pred == 2:
             return _apply_predictor(arr)
+        if pred not in (1, 2):
+            # e.g. 3 = floating-point predictor (GDAL's default for f32
+            # rasters): decoding as if unpredicted returns silently
+            # corrupt pixels — fail loudly like unsupported compression.
+            raise NotImplementedError(f"TIFF predictor {pred} not supported")
         return arr
 
     def read(self) -> np.ndarray:
         """Decode the full IFD to (samples, height, width)."""
+        pred = int(self.get(T_PREDICTOR, 1))
+        if pred not in (1, 2):
+            raise NotImplementedError(f"TIFF predictor {pred} not supported")
         h, w, s = self.height, self.width, self.samples
         dt = self.dtype
         planar = int(self.get(T_PLANAR_CONFIG, 1))
@@ -592,138 +601,21 @@ def write_geotiff(
     tile_size: int = 256,
     predictor: bool = False,
 ) -> None:
-    """Write (bands, rows, cols) or (rows, cols) to a chunky GeoTIFF."""
+    """Write (bands, rows, cols) or (rows, cols) to a chunky GeoTIFF.
+
+    A single-IFD wrapper over :func:`_serialize_ifd` (the multi-IFD
+    serializer ``write_cog`` uses) — one tag/compression/layout
+    implementation, not two.
+    """
     if array.ndim == 2:
         array = array[None]
-    s, h, w = array.shape
-    arr = np.ascontiguousarray(array.transpose(1, 2, 0))  # (h, w, s) chunky
-    dt = arr.dtype
-    if dt.byteorder == ">":
-        arr = arr.astype(dt.newbyteorder("<"))
-        dt = arr.dtype
-    sf = _DTYPE_TO_SF.get(dt.kind)
-    if sf is None:
-        raise ValueError(f"Unsupported dtype {dt}")
-    comp_id = {"none": 1, "deflate": 8, "lzw": 5}[compress]
-
-    def compress_block(block: np.ndarray) -> bytes:
-        raw = block.tobytes()
-        if comp_id == 1:
-            return raw
-        if comp_id == 8:
-            return zlib.compress(raw, 6)
-        return _encode_lzw(raw)
-
-    blocks: List[bytes] = []
-    if tiled:
-        th = tw = tile_size
-        tiles_y = math.ceil(h / th)
-        tiles_x = math.ceil(w / tw)
-        for ty in range(tiles_y):
-            for tx in range(tiles_x):
-                tile = np.zeros((th, tw, s), dt)
-                ys = min(th, h - ty * th)
-                xs = min(tw, w - tx * tw)
-                tile[:ys, :xs] = arr[ty * th : ty * th + ys, tx * tw : tx * tw + xs]
-                blocks.append(compress_block(tile))
-    else:
-        rps = max(1, min(h, max(1, (1 << 16) // max(1, w * s * dt.itemsize))))
-        for r0 in range(0, h, rps):
-            blocks.append(compress_block(arr[r0 : r0 + rps]))
-
-    # Assemble tags.
-    tags: List[Tuple[int, int, List]] = [
-        (T_IMAGE_WIDTH, 3, [w]),
-        (T_IMAGE_LENGTH, 3, [h]),
-        (T_BITS_PER_SAMPLE, 3, [dt.itemsize * 8] * s),
-        (T_COMPRESSION, 3, [comp_id]),
-        (T_PHOTOMETRIC, 3, [1]),
-        (T_SAMPLES_PER_PIXEL, 3, [s]),
-        (T_PLANAR_CONFIG, 3, [1]),
-        (T_SAMPLE_FORMAT, 3, [sf] * s),
-    ]
-    if tiled:
-        tags += [
-            (T_TILE_WIDTH, 3, [tile_size]),
-            (T_TILE_LENGTH, 3, [tile_size]),
-            (T_TILE_OFFSETS, 4, [0] * len(blocks)),
-            (T_TILE_BYTE_COUNTS, 4, [len(b) for b in blocks]),
-        ]
-    else:
-        rps = max(1, min(h, max(1, (1 << 16) // max(1, w * s * dt.itemsize))))
-        tags += [
-            (T_ROWS_PER_STRIP, 3, [rps]),
-            (T_STRIP_OFFSETS, 4, [0] * len(blocks)),
-            (T_STRIP_BYTE_COUNTS, 4, [len(b) for b in blocks]),
-        ]
-    if transform is not None:
-        tags.append((T_MODEL_PIXEL_SCALE, 12, [transform.a, -transform.e, 0.0]))
-        tags.append((T_MODEL_TIEPOINT, 12,
-                     [0.0, 0.0, 0.0, transform.c, transform.f, 0.0]))
-    gk = _geokeys(crs)
-    if gk:
-        tags.append((T_GEO_KEY_DIRECTORY, 3, gk))
-    if nodata is not None:
-        nd = f"{nodata:.10g}\0"
-        tags.append((T_GDAL_NODATA, 2, [nd]))
-
-    tags.sort(key=lambda t: t[0])
-
-    # Layout: header(8) + IFD + external values + block data.
-    n_tags = len(tags)
-    ifd_offset = 8
-    ifd_size = 2 + n_tags * 12 + 4
-    ext_offset = ifd_offset + ifd_size
-    ext_data = bytearray()
-
-    def tag_bytes(tag, typ, vals) -> bytes:
-        nonlocal ext_data
-        if typ == 2:
-            payload = vals[0].encode("latin-1")
-            cnt = len(payload)
-        else:
-            fmt = _TYPE_FMT[typ]
-            payload = struct.pack("<" + fmt * len(vals), *vals)
-            cnt = len(vals)
-        if len(payload) <= 4:
-            return struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
-        off = ext_offset + len(ext_data)
-        ext_data += payload
-        if len(ext_data) % 2:
-            ext_data += b"\0"
-        return struct.pack("<HHII", tag, typ, cnt, off)
-
-    # Two passes: first to size ext data (offsets of blocks depend on it).
-    ext_data = bytearray()
-    for tag, typ, vals in tags:
-        tag_bytes(tag, typ, vals)
-    data_offset = ext_offset + len(ext_data)
-    if data_offset % 2:
-        data_offset += 1
-
-    offsets = []
-    pos = data_offset
-    for b in blocks:
-        offsets.append(pos)
-        pos += len(b) + (len(b) % 2)
-
-    final_tags = []
-    for tag, typ, vals in tags:
-        if tag in (T_STRIP_OFFSETS, T_TILE_OFFSETS):
-            final_tags.append((tag, typ, offsets))
-        else:
-            final_tags.append((tag, typ, vals))
-
-    ext_data = bytearray()
-    entries = b"".join(tag_bytes(t, ty, v) for t, ty, v in final_tags)
-    ifd = struct.pack("<H", n_tags) + entries + struct.pack("<I", 0)
-
+    ifd, ext, blocks, _ = _serialize_ifd(
+        array, transform, crs, nodata, tiled, tile_size, compress,
+        base_offset=8, predictor=predictor)
     with open(path, "wb") as f:
-        f.write(b"II*\0" + struct.pack("<I", ifd_offset))
-        f.write(ifd)
-        f.write(ext_data)
-        if f.tell() % 2:
-            f.write(b"\0")
+        f.write(b"II*\0" + struct.pack("<I", 8))
+        f.write(ifd + struct.pack("<I", 0))  # next-IFD pointer: none
+        f.write(ext)
         for b in blocks:
             f.write(b)
             if len(b) % 2:
@@ -740,6 +632,7 @@ def _serialize_ifd(
     compress: str,
     base_offset: int,
     is_overview: bool = False,
+    predictor: bool = False,
 ) -> Tuple[bytes, bytes, List[bytes], int]:
     """Build one IFD's (entries+ext, blocks) for multi-IFD files.
 
@@ -753,10 +646,20 @@ def _serialize_ifd(
     if dt.byteorder == ">":
         arr = arr.astype(dt.newbyteorder("<"))
         dt = arr.dtype
-    sf = _DTYPE_TO_SF[dt.kind]
+    sf = _DTYPE_TO_SF.get(dt.kind)
+    if sf is None:
+        raise ValueError(f"Unsupported dtype {dt}")
     comp_id = {"none": 1, "deflate": 8, "lzw": 5}[compress]
+    # Horizontal differencing (tag 317 = 2): integer dtypes only (the
+    # float predictor 3 is a different, unimplemented scheme) and only
+    # meaningful under compression. Mirrors the reader's cumsum-over-
+    # width undo; wraparound integer subtraction is the TIFF convention.
+    use_pred = bool(predictor) and comp_id != 1 and dt.kind in ("u", "i")
 
     def compress_block(block: np.ndarray) -> bytes:
+        if use_pred:
+            block = block.copy()
+            block[:, 1:] = block[:, 1:] - block[:, :-1]
         raw = block.tobytes()
         if comp_id == 1:
             return raw
@@ -790,6 +693,8 @@ def _serialize_ifd(
         (T_PLANAR_CONFIG, 3, [1]),
         (T_SAMPLE_FORMAT, 3, [sf] * s),
     ]
+    if use_pred:
+        tags.append((T_PREDICTOR, 3, [2]))
     if is_overview:
         tags.append((254, 4, [1]))  # NewSubfileType: reduced-resolution
     if tiled:

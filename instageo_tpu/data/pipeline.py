@@ -300,21 +300,33 @@ class BaseDataPipeline(ABC):
         """Fetch/decode one tile -> (tile_array, mask_array, transform, crs,
         tile_id) or None on failure."""
 
-    def _is_processed(self, key: str, state_path: str) -> bool:
+    def _load_state(self, state_path: str) -> list:
         if not os.path.exists(state_path):
-            return False
-        with open(state_path) as f:
-            return key in json.load(f)
+            return []
+        try:
+            with open(state_path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            # A corrupt resume file must not wedge the pipeline into
+            # failing every tile forever — start over (idempotent chip
+            # writes make reprocessing safe) and say so.
+            log.warning("Corrupt resume state %s (%s): reprocessing all "
+                        "tiles", state_path, e)
+            return []
+
+    def _is_processed(self, key: str, state_path: str) -> bool:
+        return key in self._load_state(state_path)
 
     def _mark_processed(self, key: str, state_path: str) -> None:
-        state = []
-        if os.path.exists(state_path):
-            with open(state_path) as f:
-                state = json.load(f)
+        state = self._load_state(state_path)
         if key not in state:
             state.append(key)
-        with open(state_path, "w") as f:
+        # Atomic replace: a crash mid-write must never leave truncated
+        # JSON (the resume mechanism would otherwise become the failure).
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, state_path)
 
     def run(self, dataset: pd.DataFrame, obsv_records: Dict[str, pd.DataFrame]
             ) -> pd.DataFrame:

@@ -87,22 +87,41 @@ def open_hls_stac_items(tile_dict: Dict[str, Any], load_masks: bool = True
                         ) -> Tuple[np.ndarray, Optional[np.ndarray], Any, int]:
     """Load HLS granule COGs: uint16, clipped 0..10000 (hls_utils.py:573-618).
 
-    Selects L30 vs S30 band names by granule id.
+    Selects L30 vs S30 band names PER GRANULE: a temporal series routinely
+    mixes the two collections (the search spans HLSL30+HLSS30 and the
+    closest-item pick is per timestep), and the same band sits under
+    different asset names — L30 B05/B06/B07 are NIR/SWIR1/SWIR2 while S30
+    uses B8A/B11/B12 (on S30, B05-B07 are red-edge bands: reading them
+    would feed the model the wrong spectra).
     """
     granules = tile_dict["granules"]
-    first_id = (granules[0].get("id") if isinstance(granules[0], dict)
-                else granules[0].id)
-    assets = (BANDS_SETTINGS.HLS_L30_ASSETS if ".L30." in first_id
-              else BANDS_SETTINGS.HLS_ASSETS)
-    bands, masks, transform, crs = open_stac_items(
-        tile_dict,
-        bands_asset=assets,
-        mask_band=BANDS_SETTINGS.HLS_MASK_ASSET,
-        load_masks=load_masks,
-        fill_value=0,
-        dtype="int32",
-        headers=_auth_headers(),
-    )
+    band_stacks, mask_stacks = [], []
+    transform = crs = None
+    for g in granules:
+        gid = g.get("id") if isinstance(g, dict) else g.id
+        assets = (BANDS_SETTINGS.HLS_L30_ASSETS if ".L30." in gid
+                  else BANDS_SETTINGS.HLS_ASSETS)
+        b, m, transform, crs = open_stac_items(
+            {"granules": [g]},
+            bands_asset=assets,
+            mask_band=BANDS_SETTINGS.HLS_MASK_ASSET,
+            load_masks=load_masks,
+            fill_value=0,
+            dtype="int32",
+            headers=_auth_headers(),
+        )
+        band_stacks.append(b)
+        if m is not None:
+            mask_stacks.append(m)
+    if len({b.shape[1:] for b in band_stacks}) > 1:
+        # Cross-granule shape drift (should not happen on one MGRS grid):
+        # crop to the common extent rather than failing the tile.
+        min_h = min(b.shape[1] for b in band_stacks)
+        min_w = min(b.shape[2] for b in band_stacks)
+        band_stacks = [b[:, :min_h, :min_w] for b in band_stacks]
+        mask_stacks = [m[:, :min_h, :min_w] for m in mask_stacks]
+    bands = np.concatenate(band_stacks)
+    masks = np.concatenate(mask_stacks) if mask_stacks else None
     bands = np.clip(bands, 0, 10000).astype(np.uint16)
     return bands, masks, transform, crs
 

@@ -377,32 +377,65 @@ def open_stac_items(
 
     Band order is ``b0_t0, b1_t0, …, b0_t1, …`` matching the reference's
     ``adjust_dims`` ``{band}_{t}`` stacking (data_pipeline.py:455-475).
-    Returns (bands, masks | None, transform, epsg). All granules of a tile
-    share a grid (same MGRS tile); differing shapes are center-cropped to
-    the smallest common extent.
+    Returns (bands, masks | None, transform, epsg).
+
+    All granules of a tile share the same MGRS EXTENT, but assets come at
+    mixed resolutions on nesting grids (S2: 10 m B02-B04 at 10980² vs
+    20 m B8A/B11/B12/SCL at 5490²; 10980 = 2·5490 = 6·1830). Coarser
+    planes are upsampled to the finest grid by integer repetition
+    (nearest neighbor — correct for SCL class codes and the standard
+    alignment for SR bands); cropping to the smallest shape would keep
+    only the top-left QUARTER of the 10 m bands and spatially misalign
+    every band. The returned transform is the finest plane's.
     """
     granules = [StacItem.from_dict(g) if isinstance(g, dict) else g
                 for g in tile_dict["granules"]]
-    band_planes: List[np.ndarray] = []
-    mask_planes: List[np.ndarray] = []
-    transform = crs = None
+    band_planes: List[Tuple[np.ndarray, Any, int]] = []
+    mask_planes: List[Tuple[np.ndarray, Any, int]] = []
     for granule in granules:
         for asset in bands_asset:
             href = granule.assets[asset]
             if sign_func:
                 href = sign_func(href)
-            arr, transform, crs = _load_asset(href, headers)
-            band_planes.append(arr)
+            band_planes.append(_load_asset(href, headers))
         if load_masks:
             href = granule.assets[mask_band]
             if sign_func:
                 href = sign_func(href)
-            m, _, _ = _load_asset(href, headers)
-            mask_planes.append(m)
+            mask_planes.append(_load_asset(href, headers))
 
-    min_h = min(p.shape[0] for p in band_planes + mask_planes)
-    min_w = min(p.shape[1] for p in band_planes + mask_planes)
-    bands = np.stack([p[:min_h, :min_w] for p in band_planes]).astype(dtype)
-    masks = (np.stack([p[:min_h, :min_w] for p in mask_planes])
+    all_planes = band_planes + mask_planes
+    max_h = max(p.shape[0] for p, _, _ in all_planes)
+    max_w = max(p.shape[1] for p, _, _ in all_planes)
+    nesting = all(max_h % p.shape[0] == 0 and max_w % p.shape[1] == 0
+                  for p, _, _ in all_planes)
+
+    def _to_finest(p: np.ndarray) -> np.ndarray:
+        fh, fw = max_h // p.shape[0], max_w // p.shape[1]
+        if fh == 1 and fw == 1:
+            return p
+        return np.repeat(np.repeat(p, fh, axis=0), fw, axis=1)
+
+    if nesting:
+        transform, crs = next((t, c) for p, t, c in all_planes
+                              if p.shape == (max_h, max_w))
+        bands = np.stack([_to_finest(p) for p, _, _ in band_planes]
+                         ).astype(dtype)
+        masks = (np.stack([_to_finest(p) for p, _, _ in mask_planes])
+                 if mask_planes else None)
+        return bands, masks, transform, crs
+
+    # Non-nesting shapes (not same-tile STAC assets): last-resort crop to
+    # the common extent, loudly.
+    log.warning("open_stac_items: non-nesting plane shapes %s — cropping "
+                "to the smallest common extent",
+                sorted({p.shape for p, _, _ in all_planes}))
+    min_h = min(p.shape[0] for p, _, _ in all_planes)
+    min_w = min(p.shape[1] for p, _, _ in all_planes)
+    transform, crs = next(
+        (t, c) for p, t, c in all_planes if p.shape[0] == min_h)
+    bands = np.stack([p[:min_h, :min_w] for p, _, _ in band_planes]
+                     ).astype(dtype)
+    masks = (np.stack([p[:min_h, :min_w] for p, _, _ in mask_planes])
              if mask_planes else None)
     return bands, masks, transform, crs

@@ -317,6 +317,14 @@ bool parse_info(const uint8_t* d, size_t n, TiffInfo* info) {
 bool decode_tiff(const uint8_t* d, size_t n, uint8_t* out, size_t out_bytes) {
   TiffInfo info;
   if (!parse_info(d, n, &info)) return false;
+  if (info.predictor != 1 && info.predictor != 2) {
+    // e.g. 3 = floating-point predictor: decoding without undoing it
+    // returns silently corrupt pixels — fail like unsupported
+    // compression does (callers fall back to the Python reader, which
+    // raises the same way).
+    set_error("TIFF predictor not supported");
+    return false;
+  }
   int64_t bs = info.bits / 8;
   size_t need = (size_t)(info.width * info.height * info.bands * bs);
   if (out_bytes < need) {
