@@ -97,15 +97,45 @@ class ConfusionMatrix:
             valid &= y_true != ignore_index
         yt = jnp.clip(y_true, 0, c - 1)
         yp = jnp.clip(y_pred, 0, c - 1)
-        t_oh = jax.nn.one_hot(yt, c, dtype=jnp.bfloat16)
-        t_oh = t_oh * valid[:, None].astype(jnp.bfloat16)
-        p_oh = jax.nn.one_hot(yp, c, dtype=jnp.bfloat16)
-        upd = jax.lax.dot_general(
-            t_oh, p_oh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_hi, m_lo = _two_sum(self.matrix, self.matrix_lo, upd)
+
+        def seg_update(m_hi, m_lo, yt_s, yp_s, valid_s):
+            t_oh = jax.nn.one_hot(yt_s, c, dtype=jnp.bfloat16)
+            t_oh = t_oh * valid_s[:, None].astype(jnp.bfloat16)
+            p_oh = jax.nn.one_hot(yp_s, c, dtype=jnp.bfloat16)
+            upd = jax.lax.dot_general(
+                t_oh, p_oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return _two_sum(m_hi, m_lo, upd)
+
+        # The dot_general's f32 reduction is exact only up to 2^24 counts
+        # per cell; composed eval batches (batch x sliding-window crops)
+        # reach 1e8 pixels per update, where a dominant class would
+        # silently lose +1s BEFORE the two-sum compensation sees them.
+        # Segments of 2^23 keep each partial exact (and bound the one-hot
+        # operands' memory at mega-batches).
+        n = yt.shape[0]
+        seg = 1 << 23
+        if n <= seg:
+            m_hi, m_lo = seg_update(self.matrix, self.matrix_lo, yt, yp,
+                                    valid)
+        else:
+            pad = (-n) % seg
+            yts = jnp.pad(yt, (0, pad)).reshape(-1, seg)
+            yps = jnp.pad(yp, (0, pad)).reshape(-1, seg)
+            vs = jnp.pad(valid, (0, pad)).reshape(-1, seg)  # pads False
+
+            def body(carry, xs):
+                return seg_update(*carry, *xs), None
+
+            (m_hi, m_lo), _ = jax.lax.scan(
+                body, (self.matrix, self.matrix_lo), (yts, yps, vs))
+
+        # Exact valid count: int32 sum (exact to 2^31), split into two
+        # f32-exact words before entering the compensated total.
+        cnt = valid.sum(dtype=jnp.int32)
         t_hi, t_lo = _two_sum(self.total, self.total_lo,
-                              valid.sum(dtype=jnp.float32))
+                              ((cnt >> 12) << 12).astype(jnp.float32))
+        t_hi, t_lo = _two_sum(t_hi, t_lo, (cnt & 0xFFF).astype(jnp.float32))
         return ConfusionMatrix(matrix=m_hi, matrix_lo=m_lo,
                                total=t_hi, total_lo=t_lo)
 
@@ -202,24 +232,51 @@ class AucHistogram:
         # bin = floor(clip(score) * (n_bins - 1))  (reference _bin, :209-212)
         bins = jnp.floor(jnp.clip(y_score, 0.0, 1.0) * (n_bins - 1)).astype(jnp.int32)
         contract = (((0,), (0,)), ((), ()))
-        pos_rows, neg_rows = [], []
-        for ci in range(c):  # C is small and static (2-13 classes)
-            oh_hi = jax.nn.one_hot(bins[:, ci] // nl, nh, dtype=jnp.bfloat16)
-            oh_lo = jax.nn.one_hot(bins[:, ci] % nl, nl, dtype=jnp.bfloat16)
-            is_pos = (y_true == ci) & valid
-            is_neg = (y_true != ci) & valid
-            pos2d = jax.lax.dot_general(
-                oh_hi * is_pos[:, None].astype(jnp.bfloat16), oh_lo,
-                contract, preferred_element_type=jnp.float32)
-            neg2d = jax.lax.dot_general(
-                oh_hi * is_neg[:, None].astype(jnp.bfloat16), oh_lo,
-                contract, preferred_element_type=jnp.float32)
-            pos_rows.append(pos2d.reshape(n_bins))
-            neg_rows.append(neg2d.reshape(n_bins))
-        return AucHistogram(
-            pos_hist=self.pos_hist + jnp.stack(pos_rows).astype(jnp.int32),
-            neg_hist=self.neg_hist + jnp.stack(neg_rows).astype(jnp.int32),
-        )
+
+        def seg_hists(yt_s, bins_s, v_s):
+            pos_rows, neg_rows = [], []
+            for ci in range(c):  # C is small and static (2-13 classes)
+                oh_hi = jax.nn.one_hot(bins_s[:, ci] // nl, nh,
+                                       dtype=jnp.bfloat16)
+                oh_lo = jax.nn.one_hot(bins_s[:, ci] % nl, nl,
+                                       dtype=jnp.bfloat16)
+                is_pos = (yt_s == ci) & v_s
+                is_neg = (yt_s != ci) & v_s
+                pos2d = jax.lax.dot_general(
+                    oh_hi * is_pos[:, None].astype(jnp.bfloat16), oh_lo,
+                    contract, preferred_element_type=jnp.float32)
+                neg2d = jax.lax.dot_general(
+                    oh_hi * is_neg[:, None].astype(jnp.bfloat16), oh_lo,
+                    contract, preferred_element_type=jnp.float32)
+                pos_rows.append(pos2d.reshape(n_bins))
+                neg_rows.append(neg2d.reshape(n_bins))
+            return jnp.stack(pos_rows), jnp.stack(neg_rows)
+
+        # Segmented like ConfusionMatrix.update: the per-update f32
+        # reduction is exact only to 2^24 counts per bin, and composed
+        # eval batches reach 1e8 pixels; int32 epoch totals stay exact.
+        n = y_true.shape[0]
+        seg = 1 << 23
+        if n <= seg:
+            pos2, neg2 = seg_hists(y_true, bins, valid)
+            return AucHistogram(
+                pos_hist=self.pos_hist + pos2.astype(jnp.int32),
+                neg_hist=self.neg_hist + neg2.astype(jnp.int32),
+            )
+        pad = (-n) % seg
+        yts = jnp.pad(y_true, (0, pad)).reshape(-1, seg)
+        binss = jnp.pad(bins, ((0, pad), (0, 0))).reshape(-1, seg, c)
+        vs = jnp.pad(valid, (0, pad)).reshape(-1, seg)  # pads False
+
+        def body(carry, xs):
+            ph, nh_ = carry
+            p2, n2 = seg_hists(*xs)
+            return (ph + p2.astype(jnp.int32),
+                    nh_ + n2.astype(jnp.int32)), None
+
+        (ph, nh_), _ = jax.lax.scan(
+            body, (self.pos_hist, self.neg_hist), (yts, binss, vs))
+        return AucHistogram(pos_hist=ph, neg_hist=nh_)
 
     def score(self, include_per_class: bool = True) -> Dict:
         """Host-side AUC via cumulative histograms (metrics.py:246-274)."""
@@ -244,9 +301,22 @@ class AucHistogram:
 # ---------------------------------------------------------------------------
 
 
+def _acc_pair(pair: jnp.ndarray, add: jnp.ndarray) -> jnp.ndarray:
+    """Add ``add`` into a (2,) [hi, lo] compensated f32 pair."""
+    hi, lo = _two_sum(pair[0], pair[1], add)
+    return jnp.stack([hi, lo])
+
+
 @flax.struct.dataclass
 class RegressionStats:
-    """Device-side sum statistics for streaming regression metrics."""
+    """Device-side sum statistics for streaming regression metrics.
+
+    Each statistic is a (2,) [hi, lo] compensated f32 pair (x64 is off on
+    TPU): R²/Pearson are computed as ``sum_x2 − n·x̄²`` — a catastrophic
+    cancellation that amplifies plain-f32 accumulator rounding into
+    multi-percent metric errors over long epochs when labels' mean ≫ std
+    (the same failure the ConfusionMatrix's two-sum guards against).
+    """
 
     n: jnp.ndarray
     sum_x: jnp.ndarray
@@ -260,7 +330,7 @@ class RegressionStats:
 
     @classmethod
     def empty(cls) -> "RegressionStats":
-        z = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        z = jnp.zeros((2,), jnp.float32)
         return cls(n=z, sum_x=z, sum_y=z, sum_xy=z, sum_x2=z, sum_y2=z,
                    sum_abs_error=z, sum_squared_error=z, within_ee_count=z)
 
@@ -283,47 +353,57 @@ class RegressionStats:
         abs_err = jnp.abs(y - x)
         within = (abs_err <= ee_bias + ee_coef * x).astype(jnp.float32) * v
         return RegressionStats(
-            n=self.n + v.sum(),
-            sum_x=self.sum_x + x.sum(),
-            sum_y=self.sum_y + y.sum(),
-            sum_xy=self.sum_xy + (x * y).sum(),
-            sum_x2=self.sum_x2 + (x * x).sum(),
-            sum_y2=self.sum_y2 + (y * y).sum(),
-            sum_abs_error=self.sum_abs_error + (abs_err * v).sum(),
-            sum_squared_error=self.sum_squared_error + (abs_err * abs_err * v).sum(),
-            within_ee_count=self.within_ee_count + within.sum(),
+            n=_acc_pair(self.n, v.sum()),
+            sum_x=_acc_pair(self.sum_x, x.sum()),
+            sum_y=_acc_pair(self.sum_y, y.sum()),
+            sum_xy=_acc_pair(self.sum_xy, (x * y).sum()),
+            sum_x2=_acc_pair(self.sum_x2, (x * x).sum()),
+            sum_y2=_acc_pair(self.sum_y2, (y * y).sum()),
+            sum_abs_error=_acc_pair(self.sum_abs_error, (abs_err * v).sum()),
+            sum_squared_error=_acc_pair(self.sum_squared_error,
+                                        (abs_err * abs_err * v).sum()),
+            within_ee_count=_acc_pair(self.within_ee_count, within.sum()),
         )
 
     def compute(self, include_ee: bool = False, ee_bias: float = 0.05,
                 ee_coef: float = 0.15) -> Dict:
-        s = {k: float(jax.device_get(getattr(self, k))) for k in (
-            "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
-            "sum_abs_error", "sum_squared_error", "within_ee_count")}
-        n = s["n"]
-        if n == 0:
-            nan = float("nan")
-            return {"mae": nan, "rmse": nan, "r2_score": nan,
-                    "pearson_corrcoef": nan, "ee_percentage": None,
-                    "ee_bias": ee_bias, "ee_coef": ee_coef}
-        mae = s["sum_abs_error"] / n
-        rmse = float(np.sqrt(s["sum_squared_error"] / n))
-        x_mean = s["sum_x"] / n
-        y_mean = s["sum_y"] / n
-        ss_tot = s["sum_x2"] - n * x_mean * x_mean
-        r2 = 1 - s["sum_squared_error"] / ss_tot if (n >= 2 and ss_tot != 0) else float("nan")
-        cov = s["sum_xy"] - n * x_mean * y_mean
-        std_x = np.sqrt(max(s["sum_x2"] - n * x_mean * x_mean, 0.0))
-        std_y = np.sqrt(max(s["sum_y2"] - n * y_mean * y_mean, 0.0))
-        pearson = cov / (std_x * std_y) if (n >= 2 and std_x and std_y) else float("nan")
-        return {
-            "mae": mae,
-            "rmse": rmse,
-            "r2_score": r2,
-            "pearson_corrcoef": pearson,
-            "ee_percentage": (s["within_ee_count"] / n * 100) if include_ee else None,
-            "ee_bias": ee_bias,
-            "ee_coef": ee_coef,
-        }
+        s = {}
+        for k in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+                  "sum_abs_error", "sum_squared_error", "within_ee_count"):
+            pair = np.asarray(jax.device_get(getattr(self, k)), np.float64)
+            s[k] = float(pair[0] + pair[1])
+        return _finalize_regression(s, include_ee, ee_bias, ee_coef)
+
+
+def _finalize_regression(s: Dict[str, float], include_ee: bool,
+                         ee_bias: float, ee_coef: float) -> Dict:
+    """Metric formulas from raw sums (shared by the device state and the
+    numpy RunningRegressionMetrics wrapper — one copy of the math)."""
+    n = s["n"]
+    if n == 0:
+        nan = float("nan")
+        return {"mae": nan, "rmse": nan, "r2_score": nan,
+                "pearson_corrcoef": nan, "ee_percentage": None,
+                "ee_bias": ee_bias, "ee_coef": ee_coef}
+    mae = s["sum_abs_error"] / n
+    rmse = float(np.sqrt(s["sum_squared_error"] / n))
+    x_mean = s["sum_x"] / n
+    y_mean = s["sum_y"] / n
+    ss_tot = s["sum_x2"] - n * x_mean * x_mean
+    r2 = 1 - s["sum_squared_error"] / ss_tot if (n >= 2 and ss_tot != 0) else float("nan")
+    cov = s["sum_xy"] - n * x_mean * y_mean
+    std_x = np.sqrt(max(s["sum_x2"] - n * x_mean * x_mean, 0.0))
+    std_y = np.sqrt(max(s["sum_y2"] - n * y_mean * y_mean, 0.0))
+    pearson = cov / (std_x * std_y) if (n >= 2 and std_x and std_y) else float("nan")
+    return {
+        "mae": mae,
+        "rmse": rmse,
+        "r2_score": r2,
+        "pearson_corrcoef": pearson,
+        "ee_percentage": (s["within_ee_count"] / n * 100) if include_ee else None,
+        "ee_bias": ee_bias,
+        "ee_coef": ee_coef,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -444,28 +524,12 @@ class RunningRegressionMetrics:
         self.within_ee_count += np.sum(abs_err <= self.ee_bias + self.ee_coef * y_true)
 
     def compute(self) -> Dict:
-        n = self.n
-        if n == 0:
-            nan = float("nan")
-            return {"mae": nan, "rmse": nan, "r2_score": nan,
-                    "pearson_corrcoef": nan, "ee_percentage": None,
-                    "ee_bias": self.ee_bias, "ee_coef": self.ee_coef}
-        mae = self.sum_abs_error / n
-        rmse = float(np.sqrt(self.sum_squared_error / n))
-        x_mean = self.sum_x / n
-        y_mean = self.sum_y / n
-        ss_tot = self.sum_x2 - n * x_mean * x_mean
-        r2 = 1 - self.sum_squared_error / ss_tot if (n >= 2 and ss_tot != 0) else float("nan")
-        cov = self.sum_xy - n * x_mean * y_mean
-        std_x = np.sqrt(max(self.sum_x2 - n * x_mean * x_mean, 0.0))
-        std_y = np.sqrt(max(self.sum_y2 - n * y_mean * y_mean, 0.0))
-        pearson = cov / (std_x * std_y) if (n >= 2 and std_x and std_y) else float("nan")
-        return {
-            "mae": mae, "rmse": rmse, "r2_score": r2,
-            "pearson_corrcoef": pearson,
-            "ee_percentage": (self.within_ee_count / n * 100) if self.include_ee else None,
-            "ee_bias": self.ee_bias, "ee_coef": self.ee_coef,
-        }
+        # Same finalize as the device state — one copy of the formulas.
+        s = {k: float(getattr(self, k)) for k in (
+            "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+            "sum_abs_error", "sum_squared_error", "within_ee_count")}
+        return _finalize_regression(s, self.include_ee, self.ee_bias,
+                                    self.ee_coef)
 
     def reset(self) -> None:
         self.n = 0

@@ -102,7 +102,9 @@ def main(argv: Optional[List[str]] = None) -> Any:
         ds = _make_dataset(cfg.train_filepath, cfg, _train_preprocess(cfg, stats_mode=True))
         loader = create_dataloader(ds, batch_size, shuffle=True,
                                    num_workers=int(cfg.dataloader.get("num_workers", 1)))
-        mean, std, class_weights = compute_stats(loader, cfg.get("is_reg_task", False))
+        mean, std, class_weights = compute_stats(
+            loader, cfg.get("is_reg_task", False),
+            ignore_index=int(cfg.train.get("ignore_index", -1)))
         print(json.dumps({"mean": mean, "std": std, "class_weights": class_weights}))
         return {"mean": mean, "std": std, "class_weights": class_weights}
 
@@ -138,6 +140,16 @@ def main(argv: Optional[List[str]] = None) -> Any:
 
         trainer = Trainer(cfg, model, variables, mesh=mesh, teacher=teacher,
                           steps_per_epoch=max(1, len(train_loader)))
+        resume_from = cfg.get("resume_from")
+        if resume_from:
+            # Mid-training resume: step count, optimizer moments (scheduler
+            # phase), batch stats, and best_metric all continue — unlike
+            # checkpoint_path, which is an eval/warm-start params load.
+            import jax
+
+            trainer.restore(str(resume_from))
+            log.info("Resumed training state from %s (step %d)",
+                     resume_from, int(jax.device_get(trainer.state.step)))
         ckpt = BestCheckpointer(run_dir)
 
         from instageo_tpu.utils.experiment_logger import init_experiment_logger

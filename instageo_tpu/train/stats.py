@@ -26,8 +26,15 @@ def compute_class_weights(counts: Dict[int, int]) -> List[float]:
 def compute_stats(
     data_loader: Iterable,
     is_reg_task: bool = False,
+    ignore_index: int = -1,
 ) -> Tuple[List[float], List[float], Optional[List[float]]]:
-    """Stream over (x, y) batches; x is (B, C, T, H, W)."""
+    """Stream over (x, y) batches; x is (B, C, T, H, W).
+
+    ``ignore_index`` (the task's no-data label, cfg.train.ignore_index)
+    and every negative label are excluded from class counts — counting
+    sentinel pixels would skew every weight, and a negative key would
+    index the weight list from the end.
+    """
     mean = None
     var = None
     nb_samples = 0
@@ -50,7 +57,9 @@ def compute_stats(
     std = np.sqrt(var / nb_samples)
     class_weights = None
     if not is_reg_task:
-        class_counts.pop(-1, None)
+        class_counts.pop(int(ignore_index), None)
+        class_counts = Counter(
+            {k: v for k, v in class_counts.items() if k >= 0})
         if class_counts:
             class_weights = compute_class_weights(dict(class_counts))
     return mean.tolist(), std.tolist(), class_weights

@@ -111,7 +111,7 @@ class Trainer:
         self.teacher = teacher
         self.monitor_mode = "min" if self.is_reg else "max"
         self.best_metric = float("inf") if self.is_reg else -float("inf")
-        tpu_cfg = cfg.get("tpu") or {}
+        tpu_cfg = self._tpu_cfg = cfg.get("tpu") or {}
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
         spc = tpu_cfg.get("steps_per_call", 1)
@@ -148,12 +148,9 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
             freeze_backbone=bool(cfg.model.get("freeze_backbone", False)),
         )
-        opt_state = self.tx.init(variables["params"])
-        use_zero1 = (bool((cfg.get("tpu") or {}).get("zero1", False))
+        use_zero1 = (bool(tpu_cfg.get("zero1", False))
                      and int(self.mesh.devices.size) > 1)
-        from instageo_tpu.parallel.tp import (has_model_axis,
-                                              place_state_like_params,
-                                              tp_place)
+        from instageo_tpu.parallel.tp import has_model_axis, tp_place
         if int(self.mesh.devices.size) > 1:
             # The model clone carries the mesh so the attention body pins
             # its activations (batch on data; heads on model under TP) —
@@ -161,43 +158,52 @@ class Trainer:
             # ZeRO-1 program and involuntarily rematerializes the softmax
             # (models/prithvi.py _tp_constrain).
             self.model = model = model.clone(tp_mesh=self.mesh)
-        if has_model_axis(self.mesh):
-            # Tensor parallelism (tpu.tp>1): transformer matmuls sharded
-            # column/row over the model axis (parallel/tp.py); optimizer
-            # moments mirror the param shardings (+ ZeRO-1 on the rest).
-            params = tp_place(variables["params"], self.mesh)
-            opt_state = place_state_like_params(
-                opt_state, variables["params"], self.mesh, zero1=use_zero1)
-        elif (bool((cfg.get("tpu") or {}).get("fsdp", False))
-              and int(self.mesh.devices.size) > 1):
-            # FSDP / ZeRO-3 (tpu.fsdp): params themselves sharded over the
-            # data axis (parallel/fsdp.py); moments mirror the param specs.
-            # GSPMD all-gathers kernels at use and — via the grad pinning
-            # below — reduce-scatters the gradients.
-            from instageo_tpu.parallel.fsdp import fsdp_place, fsdp_specs
+        use_fsdp = (bool(tpu_cfg.get("fsdp", False))
+                    and int(self.mesh.devices.size) > 1
+                    and not has_model_axis(self.mesh))
 
-            params = fsdp_place(variables["params"], self.mesh)
-            opt_state = place_state_like_params(
-                opt_state, variables["params"], self.mesh, zero1=use_zero1,
-                specs=fsdp_specs(variables["params"], self.mesh))
-        else:
-            params = replicate_tree(variables["params"], self.mesh)
-            if use_zero1:
-                # ZeRO-1: shard optimizer moments over the data axis
-                # (SURVEY.md §2.5 — the only sharding beyond DP this model
-                # family warrants).
-                opt_state = zero1_place(opt_state, self.mesh)
-            else:
-                opt_state = replicate_tree(opt_state, self.mesh)
+        def place_params(p):
+            """Student/teacher param placement per the configured mode."""
+            if has_model_axis(self.mesh):
+                return tp_place(p, self.mesh)
+            if use_fsdp:
+                from instageo_tpu.parallel.fsdp import fsdp_place
+
+                return fsdp_place(p, self.mesh)
+            return replicate_tree(p, self.mesh)
+
+        # TP (tpu.tp>1): transformer matmuls sharded column/row over the
+        # model axis (parallel/tp.py). FSDP (tpu.fsdp): params sharded
+        # over the data axis; GSPMD all-gathers at use and — via the grad
+        # pinning below — reduce-scatters the gradients. Optimizer moments
+        # mirror the param shardings and are built LAZILY on the first
+        # train step (_ensure_opt_state): eval-only consumers (mode=eval,
+        # the serving engine) would otherwise pay ~2x params of HBM for
+        # AdamW state they never read (600M: ~4.8 GB of a 16 GB chip).
+        self._use_zero1 = use_zero1
+        self._use_fsdp = use_fsdp
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=params,
+            params=place_params(variables["params"]),
             batch_stats=replicate_tree(variables.get("batch_stats", {}),
                                        self.mesh),
-            opt_state=opt_state,
+            opt_state=None,
         )
         if teacher is not None:
-            self._teacher_vars = replicate_tree(teacher[1], self.mesh)
+            # The frozen teacher forwards inside the SAME jitted step:
+            # mirror the student's placement — under TP/FSDP a fully
+            # replicated teacher would defeat the sharding that made the
+            # config fit, and without tp_mesh its attention body lacks
+            # the sharding pins the student needs (see clone above).
+            t_model, t_vars = teacher
+            if int(self.mesh.devices.size) > 1:
+                t_model = t_model.clone(tp_mesh=self.mesh)
+                self.teacher = teacher = (t_model, t_vars)
+            self._teacher_vars = {
+                **{k: replicate_tree(v, self.mesh)
+                   for k, v in t_vars.items() if k != "params"},
+                "params": place_params(t_vars.get("params", {})),
+            }
 
         self._param_shardings = jax.tree.map(lambda a: a.sharding,
                                              self.state.params)
@@ -207,6 +213,37 @@ class Trainer:
         self._eval_step = self._build_eval_step()
         self._eval_scan = (self._build_eval_scan()
                            if self.steps_per_call > 1 else None)
+
+    def _ensure_opt_state(self) -> None:
+        """Build + place the AdamW state on first TRAIN use (see __init__)."""
+        if self.state.opt_state is not None:
+            return
+        # zeros_like on the sharded params inherits their shardings, which
+        # is exactly the moment placement TP/FSDP want; ZeRO-1 then shards
+        # the still-replicated moments over the data axis.
+        opt_state = self.tx.init(self.state.params)
+        if int(self.mesh.devices.size) > 1:
+            from instageo_tpu.parallel.tp import (has_model_axis,
+                                                  place_state_like_params)
+
+            if has_model_axis(self.mesh):
+                opt_state = place_state_like_params(
+                    opt_state, self.state.params, self.mesh,
+                    zero1=self._use_zero1)
+            elif self._use_fsdp:
+                from instageo_tpu.parallel.fsdp import fsdp_specs
+
+                opt_state = place_state_like_params(
+                    opt_state, self.state.params, self.mesh,
+                    zero1=self._use_zero1,
+                    specs=fsdp_specs(self.state.params, self.mesh))
+            elif self._use_zero1:
+                # ZeRO-1: shard optimizer moments over the data axis
+                # (SURVEY.md §2.5).
+                opt_state = zero1_place(opt_state, self.mesh)
+            else:
+                opt_state = replicate_tree(opt_state, self.mesh)
+        self.state = self.state.replace(opt_state=opt_state)
 
     # -- step builders ----------------------------------------------------
 
@@ -358,10 +395,24 @@ class Trainer:
         )
         return new_state, metrics
 
+    def _lazy_opt_wrapper(self, jitted: Callable) -> Callable:
+        """Materialize the lazily-built optimizer state before a train
+        call (callers may pass a state captured while opt_state was still
+        None — swap in the built one)."""
+
+        def call(state: TrainState, *args):
+            if state.opt_state is None:
+                self._ensure_opt_state()
+                state = state.replace(opt_state=self.state.opt_state)
+            return jitted(state, *args)
+
+        return call
+
     def _build_train_step(self) -> Callable:
-        donate = bool(self.cfg.get("tpu", {}).get("donate_state", True))
-        return jax.jit(self._train_step_body,
-                       donate_argnums=(0,) if donate else ())
+        donate = bool(self._tpu_cfg.get("donate_state", True))
+        return self._lazy_opt_wrapper(
+            jax.jit(self._train_step_body,
+                    donate_argnums=(0,) if donate else ()))
 
     def _build_train_scan(self) -> Callable:
         """``steps_per_call`` optimizer steps chained in ONE jitted call.
@@ -373,7 +424,7 @@ class Trainer:
         single-step calls: same per-step RNG folding, same optimizer and
         metric updates.
         """
-        donate = bool(self.cfg.get("tpu", {}).get("donate_state", True))
+        donate = bool(self._tpu_cfg.get("donate_state", True))
 
         def multi(state: TrainState, xs, ys, rngs, metrics: EpochMetrics):
             def body(carry, batch):
@@ -386,7 +437,8 @@ class Trainer:
                 body, (state, metrics), (xs, ys, rngs))
             return state, metrics
 
-        return jax.jit(multi, donate_argnums=(0,) if donate else ())
+        return self._lazy_opt_wrapper(
+            jax.jit(multi, donate_argnums=(0,) if donate else ()))
 
     def _eval_step_body(self, state: TrainState, x, labels,
                         metrics: EpochMetrics, with_auc: bool,
@@ -501,6 +553,7 @@ class Trainer:
 
     def run_train_epoch(self, batches: Iterable, rng: jax.Array,
                         batch_size: int) -> Dict:
+        self._ensure_opt_state()
         rng = self._epoch_rng(rng)
         metrics = EpochMetrics.empty(self.num_classes)
         k = self._k_for(batch_size)
@@ -674,9 +727,17 @@ class Trainer:
 
     def restore(self, ckpt_path: str) -> None:
         """Resume training state (step/params/batch_stats/opt_state) from an
-        orbax checkpoint written by :class:`BestCheckpointer`."""
+        orbax checkpoint written by :class:`BestCheckpointer`.
+
+        Also restores ``best_metric`` from the checkpoint's sidecar
+        metrics JSON when present — otherwise the first (typically worse)
+        post-resume epoch would immediately overwrite the previously-best
+        checkpoint."""
+        import json as _json
+
         import orbax.checkpoint as ocp
 
+        self._ensure_opt_state()
         target = {
             "step": jax.device_get(self.state.step),
             "params": jax.device_get(self.state.params),
@@ -724,3 +785,14 @@ class Trainer:
                                    self.state.batch_stats),
             opt_state=place_like(opt_state, self.state.opt_state),
         )
+        metrics_path = path + ".metrics.json"
+        monitor = "val_RMSE" if self.is_reg else "val_IoU"
+        if os.path.exists(metrics_path):
+            try:
+                with open(metrics_path) as f:
+                    saved = _json.load(f)
+                if monitor in saved:
+                    self.best_metric = float(saved[monitor])
+            except Exception as e:
+                log.warning("could not restore best_metric from %s: %s",
+                            metrics_path, e)
