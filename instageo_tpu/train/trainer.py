@@ -400,12 +400,19 @@ class Trainer:
         call (callers may pass a state captured while opt_state was still
         None — swap in the built one)."""
 
-        def call(state: TrainState, *args):
+        def _materialize(state: TrainState) -> TrainState:
             if state.opt_state is None:
                 self._ensure_opt_state()
                 state = state.replace(opt_state=self.state.opt_state)
-            return jitted(state, *args)
+            return state
 
+        def call(state: TrainState, *args):
+            return jitted(_materialize(state), *args)
+
+        # Keep jax.jit's lowering API usable through the wrapper (bench.py
+        # and telemetry lower the step for XLA cost-analysis FLOPs).
+        call.lower = lambda state, *args: jitted.lower(_materialize(state),
+                                                       *args)
         return call
 
     def _build_train_step(self) -> Callable:
