@@ -339,8 +339,9 @@ class Attention(nn.Module):
     tp_mesh: Optional[Mesh] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True
-                 ) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # (No dropout in Prithvi attention — Block's `deterministic`
+        # governs only the LayerNorm form, so it is not threaded here.)
         b, l, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
@@ -445,7 +446,7 @@ class Block(nn.Module):
         x = x + Attention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             tp_mesh=self.tp_mesh, name="attn"
-        )(y.astype(self.dtype), deterministic)
+        )(y.astype(self.dtype))
         y = LayerNormTPU(epsilon=1e-5, name="norm2")(x, not deterministic)
         x = x + Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, gelu=self.gelu,

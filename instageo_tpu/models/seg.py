@@ -38,6 +38,20 @@ from instageo_tpu.models.registry import (
 
 # torch's default conv init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
 _conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# torch ConvTranspose2d computes fan_in from weight.size(1) — its OUT
+# channel dim (weights are (in, out, kh, kw)) — so the matching flax mode
+# for our HWIO kernels is fan_OUT (= k*k*out).
+_convt_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_out", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    """torch conv/convT bias init: U(±1/sqrt(fan_in)) (not flax's zeros)."""
+    bound = 1.0 / (float(fan_in) ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class TPUDropout(nn.Module):
@@ -71,15 +85,22 @@ class TPUDropout(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if deterministic or self.rate == 0.0:
             return x
+        if self.rate >= 1.0:
+            # nn.Dropout semantics: rate 1 zeroes everything (the scaled
+            # paths below would divide by a zero keep probability).
+            return jnp.zeros_like(x)
         if self.impl in ("bits8", "bits16"):
             lanes, udtype = ((4, jnp.uint8) if self.impl == "bits8"
                              else (2, jnp.uint16))
             if x.size % lanes == 0:
                 levels = 1 << (8 * (4 // lanes))
-                # Clamp below ``levels``: q == levels would wrap the uint
-                # threshold to 0 and drop everything (rate 1/512 at bits8
-                # would otherwise round keep to 256/256).
-                q = min(round((1.0 - self.rate) * levels), levels - 1)
+                # Clamp into [1, levels-1]: q == levels would wrap the
+                # uint threshold to 0 and drop everything (rate 1/512 at
+                # bits8 would otherwise round keep to 256/256), and q == 0
+                # (rate > 1 - 0.5/levels) would put 0/0 = NaN into the
+                # backward pass of the where-over-division.
+                q = min(max(round((1.0 - self.rate) * levels), 1),
+                        levels - 1)
                 keep_q = q / levels
                 key = self.make_rng("dropout")
                 words = jax.random.bits(key, (x.size // lanes,), jnp.uint32)
@@ -122,9 +143,11 @@ class ConvTranspose2dTorch(nn.Module):
         k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
         in_features = x.shape[-1]
         kernel = self.param(
-            "kernel", _conv_init, (k, k, in_features, self.features), jnp.float32
+            "kernel", _convt_init, (k, k, in_features, self.features),
+            jnp.float32
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param("bias", _torch_bias_init(k * k * self.features),
+                          (self.features,), jnp.float32)
         pad = (k - 1 - p, k - 1 - p + op)
         # No preferred_element_type here: a widened output dtype breaks the
         # conv gradient under bf16 training (mixed-dtype backward conv); the
@@ -165,6 +188,8 @@ class UpscalingBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=_conv_init,
+            bias_init=_torch_bias_init(
+                self.conv_kernel * self.conv_kernel * self.features),
             name="conv",
         )(x)
         x = nn.BatchNorm(
@@ -251,6 +276,7 @@ class PrithviSeg(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=_conv_init,
+            bias_init=_torch_bias_init(dims[4]),  # 1x1 conv: fan_in = C_in
             name="head_conv",
         )
 
@@ -311,6 +337,8 @@ def create_prithvi_seg(
     attn_impl: str = "xla",
     remat: bool = False,
     gelu: str = "exact",
+    dropout_impl: str = "xla",
+    tp_mesh: Optional[Any] = None,
 ) -> PrithviSeg:
     """Factory mirroring the reference ``PrithviSeg(...)`` constructor surface."""
     if variant not in PRITHVI_ARCHS:
@@ -326,4 +354,6 @@ def create_prithvi_seg(
         attn_impl=attn_impl,
         remat=remat,
         gelu=gelu,
+        dropout_impl=dropout_impl,
+        tp_mesh=tp_mesh,
     )

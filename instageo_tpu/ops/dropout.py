@@ -65,11 +65,16 @@ def fused_dropout(x: jnp.ndarray, seed: jnp.ndarray, rate: float
 
 
 def _fused_dropout_fwd_impl(x, seed, rate):
+    if not 0.0 <= rate < 1.0:
+        # rate == 1 would divide the scale by zero, and a rate rounding
+        # to 2^32 would overflow the uint32 threshold below; callers
+        # (TPUDropout) handle the rate>=1 zero-output case themselves.
+        raise ValueError(f"dropout rate must be in [0, 1), got {rate}")
     orig_shape = x.shape
     m = x.size // LANES
     x2 = x.reshape(m, LANES)
     rows = min(ROWS_PER_BLOCK, m)
-    threshold = int(round(rate * (1 << 32)))
+    threshold = min(int(round(rate * (1 << 32))), (1 << 32) - 1)
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(
         _dropout_kernel_interpret if interpret else _dropout_kernel,

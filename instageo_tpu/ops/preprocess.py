@@ -44,7 +44,12 @@ def preprocess_chips(
     x = raw
     if bands is not None:
         x = x[:, list(bands)]
-    if img_size is not None and x.shape[-1] > img_size:
+    if img_size is not None and (x.shape[-2] != img_size
+                                 or x.shape[-1] != img_size):
+        if x.shape[-2] < img_size or x.shape[-1] < img_size:
+            raise ValueError(
+                f"chips {x.shape[-2]}x{x.shape[-1]} smaller than "
+                f"img_size {img_size}")
         off_h = (x.shape[-2] - img_size) // 2
         off_w = (x.shape[-1] - img_size) // 2
         x = x[..., off_h:off_h + img_size, off_w:off_w + img_size]

@@ -103,7 +103,18 @@ def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
                 img_size=int(cfg.dataloader.get("img_size", 224)),
                 depth=int(cfg.model.get("depth", -1)),
             )
-            enc = load_pretrained_encoder(pre_path, arch)
+            # Band surgery (reference model.py:330): the model's channel
+            # list is the pretrained HLS band names tiled to in_chans —
+            # multiples of 6 copy the pretrained embed weights per cycle;
+            # without this, a non-6-channel model would get a 6-channel
+            # patch-embed kernel and fail at the first forward.
+            from instageo_tpu.models.checkpoint import PRETRAINED_BANDS
+
+            n_bands = len(cfg.dataloader.get("bands") or [0] * 6)
+            reps = -(-n_bands // len(PRETRAINED_BANDS))
+            model_bands = (list(PRETRAINED_BANDS) * reps)[:n_bands]
+            enc = load_pretrained_encoder(pre_path, arch,
+                                          model_bands=model_bands)
             params = dict(variables["params"])
             params["prithvi_encoder"] = enc
             variables = {**variables, "params": params}

@@ -23,11 +23,11 @@ def test_short_convergence_parity():
 
 
 @pytest.mark.parametrize("task,steps,tol", [
-    # Regression's rmse curve is a cliff before ~step 80 (2.0 -> 0.3);
-    # evaluating mid-cliff reads deltas of ~0.17 between stacks that
-    # converge to 0.005 by step 400 (PARITY.md 2b), so its smoke runs a
-    # little longer with a looser bound.
-    ("regression", 100, 0.12),
+    # Regression's rmse curve is a cliff before ~step 150 under the
+    # torch-faithful init (round 3): mid-cliff readings show deltas of
+    # ~0.13 between stacks that agree to 0.004 by step 200 (measured),
+    # so its smoke runs past the cliff.
+    ("regression", 200, 0.08),
     ("distill", 60, 0.08),
     ("crop", 60, 0.06),
 ])
