@@ -58,12 +58,23 @@ def find_prediction_tiles(directory: str, year: int = None, month: int = None,
         patterns.append(os.path.join(directory, str(year), f"{month:02d}",
                                      "*.tif"))
         patterns.append(os.path.join(directory, str(year), str(month), "*.tif"))
-    patterns.append(os.path.join(directory, "*.tif"))
+    elif year:
+        patterns.append(os.path.join(directory, str(year), "*", "*.tif"))
+    if not patterns:
+        # Only undated browsing falls back to the flat layout: silently
+        # returning every date's predictions for a dated query would show
+        # the wrong data labeled as the requested month.
+        patterns.append(os.path.join(directory, "*.tif"))
     paths: List[str] = []
     for pat in patterns:
         paths.extend(glob.glob(pat))
         if paths:
             break
+    if not paths and (year or month):
+        logging.warning(
+            "No tiles under the dated layout %s for year=%s month=%s "
+            "(flat *.tif files are only browsed without a date filter).",
+            directory, year, month)
     if country_code:
         tiles = load_country_tiles(country_code)
         if tiles:
@@ -83,7 +94,8 @@ def main(argv: Any) -> None:
     out = create_map_with_geotiff_tiles(
         paths, FLAGS.output,
         threshold=(FLAGS.threshold_low, FLAGS.threshold_high))
-    print(f"Map written to {out} ({len(paths)} tiles)")
+    print(f"Map written to {out} ({len(paths)} tiles found; "
+          "skipped tiles are logged as warnings)")
 
 
 if __name__ == "__main__":

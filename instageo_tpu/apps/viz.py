@@ -12,11 +12,14 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
 import os
 from typing import Sequence, Tuple
 
 import numpy as np
 from PIL import Image
+
+log = logging.getLogger(__name__)
 
 from instageo_tpu.data.crs import Transformer
 from instageo_tpu.data.geotiff import GeoTiffReader
@@ -27,9 +30,18 @@ _REDS = [
 ]
 
 
-def _reds_colormap(values: np.ndarray, alpha: int = 200) -> np.ndarray:
-    """Map values in [0, 1] to the Reds ramp; NaN -> transparent."""
-    idx = np.clip((values * (len(_REDS) - 1)), 0, len(_REDS) - 1)
+def _reds_colormap(values: np.ndarray, lo: float = 0.0, hi: float = 1.0,
+                   alpha: int = 200) -> np.ndarray:
+    """Map values in (lo, hi] to the full Reds ramp; NaN -> transparent.
+
+    Normalizing over the DISPLAYED band (not a fixed [0, 1]) spans the
+    whole ramp like the reference's plotly/datashader auto-ranging — a
+    fixed scale would use only the 3 darkest reds for the default
+    (0.8, 1] threshold and only near-white for a (0, 0.2] one.
+    """
+    span = max(hi - lo, 1e-9)
+    norm = (values - lo) / span
+    idx = np.clip(norm * (len(_REDS) - 1), 0, len(_REDS) - 1)
     idx = np.where(np.isnan(values), 0, idx).astype(int)
     ramp = np.asarray(_REDS, np.uint8)
     rgba = np.zeros(values.shape + (4,), np.uint8)
@@ -56,13 +68,9 @@ def read_geotiff_to_overlay(
         w, h = r.width, r.height
     if nodata is not None:
         data = np.where(data == nodata, np.nan, data)
-    step = max(1, max(data.shape) // max_size)
-    data = data[::step, ::step]
 
-    lo, hi = threshold
-    vals = np.where((data > lo) & (data <= hi), data, np.nan)
-    overlay = _reds_colormap(vals)
-
+    # WGS84 bounds from the four corners (handles rotation-free affine
+    # transforms in any supported CRS, and south-up rasters).
     xs = [t.c, t.c + w * t.a]
     ys = [t.f, t.f + h * t.e]
     if crs != 4326:
@@ -76,6 +84,33 @@ def read_geotiff_to_overlay(
         bounds = (min(lats), min(lons), max(lats), max(lons))
     else:
         bounds = (min(ys), min(xs), max(ys), max(xs))
+
+    # TRUE warp to the axis-aligned WGS84 grid Leaflet stretches the
+    # image over: sample the source raster at each target lat/lon via the
+    # inverse transform (nearest neighbor). Merely stretching the raw
+    # UTM grid into the lat/lon bbox shifts pixels by kilometers near
+    # zone edges (UTM grid convergence) and flips south-up rasters.
+    aspect = max((bounds[2] - bounds[0]) / max(bounds[3] - bounds[1], 1e-12),
+                 1e-6)
+    out_w = min(max_size, max(w, h))
+    out_h = max(1, min(max_size, int(round(out_w * aspect))))
+    lats_g = np.linspace(bounds[2], bounds[0], out_h)   # north -> south rows
+    lons_g = np.linspace(bounds[1], bounds[3], out_w)
+    lon_m, lat_m = np.meshgrid(lons_g, lats_g)
+    if crs != 4326:
+        inv = Transformer.from_crs(4326, crs, always_xy=True)
+        x_m, y_m = inv.transform(lon_m, lat_m)
+    else:
+        x_m, y_m = lon_m, lat_m
+    col = np.floor((np.asarray(x_m) - t.c) / t.a).astype(np.int64)
+    row = np.floor((np.asarray(y_m) - t.f) / t.e).astype(np.int64)
+    inside = (row >= 0) & (row < h) & (col >= 0) & (col < w)
+    sampled = np.full(lon_m.shape, np.nan)
+    sampled[inside] = data[row[inside], col[inside]]
+
+    lo, hi = threshold
+    vals = np.where((sampled > lo) & (sampled <= hi), sampled, np.nan)
+    overlay = _reds_colormap(vals, lo, hi)
     return overlay, bounds
 
 
@@ -122,16 +157,24 @@ def create_map_with_geotiff_tiles(
     (viz.py:46-159).
     """
     overlays = []
+    failed = []
     for path in tiles_to_overlay:
         try:
             rgba, bounds = read_geotiff_to_overlay(path, threshold)
-        except Exception:
+        except Exception as e:
+            # Never silent: a CRS/codec the framework doesn't support must
+            # not turn into "N tiles rendered" over an empty map.
+            failed.append(path)
+            log.warning("Skipping tile %s: %s", path, e)
             continue
         overlays.append({
             "png": _png_b64(rgba),
             "bounds": [bounds[0], bounds[1], bounds[2], bounds[3]],
             "name": os.path.basename(path),
         })
+    if failed:
+        log.warning("Rendered %d/%d tiles (%d failed)", len(overlays),
+                    len(tiles_to_overlay), len(failed))
     html = _HTML_TEMPLATE.format(overlays_json=json.dumps(overlays))
     with open(out_html, "w") as f:
         f.write(html)

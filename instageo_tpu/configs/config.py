@@ -80,7 +80,8 @@ def parse_overrides(tokens: Iterable[str]) -> Tuple[Dict[str, Any], Optional[str
     i = 0
     while i < len(toks):
         tok = toks[i]
-        if tok.startswith(("--config-name", "--config-path")):
+        flag = tok.split("=", 1)[0]
+        if flag in ("--config-name", "--config-path"):
             # Hydra accepts both --config-name=NAME and --config-name NAME;
             # silently dropping the space-separated value would train with
             # the DEFAULT config.
@@ -92,7 +93,7 @@ def parse_overrides(tokens: Iterable[str]) -> Tuple[Dict[str, Any], Optional[str
             else:
                 raise ValueError(f"{tok} requires a value "
                                  f"({tok}=NAME or '{tok} NAME')")
-            if tok.startswith("--config-name"):
+            if flag == "--config-name":
                 config_name = value
             else:
                 config_path = value
@@ -100,6 +101,13 @@ def parse_overrides(tokens: Iterable[str]) -> Tuple[Dict[str, Any], Optional[str
             key, raw = tok.split("=", 1)
             # Hydra's +key=value (append) is accepted transparently.
             overrides[key.lstrip("+")] = _parse_value(raw)
+        elif tok.startswith("-"):
+            # This repo's data CLIs take absl-style --flag=value, so a user
+            # typing '--train.batch_size=128' here is a likely mistake —
+            # silently ignoring it would train with the default value.
+            raise ValueError(
+                f"Unrecognized flag {tok!r}: overrides use Hydra style "
+                f"(key=value, e.g. {tok.lstrip('-')}), not --flags")
         i += 1
     return overrides, config_name, config_path
 

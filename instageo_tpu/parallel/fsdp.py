@@ -36,10 +36,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from instageo_tpu.parallel.mesh import DATA_AXIS
 
-# Below this many ELEMENTS (not bytes) a leaf stays replicated: the
-# all-gather set-up cost exceeds the memory saved (same element
-# threshold as zero1_place).
-MIN_SHARD_SIZE = 1 << 16
+# Shared with zero1_place / place_state_like_params (parallel/mesh.py):
+# below this many ELEMENTS (not bytes) a leaf stays replicated — the
+# all-gather set-up cost exceeds the memory saved.
+from instageo_tpu.parallel.mesh import MIN_SHARD_ELEMS as MIN_SHARD_SIZE
 
 
 def fsdp_spec_for(x: Any, n_data: int) -> P:

@@ -20,12 +20,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(num_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1D data-parallel mesh over the fastest (ICI-adjacent) device order."""
+# Below this many ELEMENTS a leaf stays replicated under ZeRO-1/FSDP:
+# the gather/scatter set-up cost exceeds the memory saved. One constant,
+# shared by zero1_place, tp.place_state_like_params, and fsdp.
+MIN_SHARD_ELEMS = 1 << 16
+
+
+def zero1_shardable(x: Any, n_data: int) -> bool:
+    """ZeRO-1 predicate: dim 0 divisible by the data-axis size and big
+    enough to be worth sharding (shared by mesh/tp/fsdp placements)."""
+    return (getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0
+            and x.size >= MIN_SHARD_ELEMS)
+
+
+def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1D data-parallel mesh over the fastest (ICI-adjacent) device order.
+
+    The axis is always named ``data`` — every sharding helper (and
+    multihost.py) addresses it by that name."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
 def mesh_from_config(tpu_cfg: Any) -> Mesh:
@@ -121,7 +137,7 @@ def zero1_place(tree: Any, mesh: Mesh) -> Any:
 
     def place(x):
         arr = np.asarray(x) if not hasattr(x, "shape") else x
-        if getattr(arr, "ndim", 0) >= 1 and arr.shape[0] % n == 0 and arr.size >= 1 << 16:
+        if zero1_shardable(arr, n):
             return jax.device_put(x, sharded)
         return jax.device_put(x, rep)
 

@@ -130,8 +130,9 @@ def place_state_like_params(state: Any, params: Any, mesh: Mesh,
     n_data = int(mesh.shape[DATA_AXIS])
 
     def moment_spec(x, s: P) -> P:
-        if zero1 and s == P() and getattr(x, "ndim", 0) >= 1 \
-                and x.shape[0] % n_data == 0 and x.size >= 1 << 16:
+        from instageo_tpu.parallel.mesh import zero1_shardable
+
+        if zero1 and s == P() and zero1_shardable(x, n_data):
             return P(DATA_AXIS)
         return s
 

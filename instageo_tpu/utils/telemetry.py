@@ -28,8 +28,12 @@ log = logging.getLogger(__name__)
 # Approximate board power draw (W) per accelerator, codecarbon-style.
 DEVICE_POWER_W = {
     "tpu v5 lite": 170.0,  # v5e
+    "tpu v6 lite": 170.0,  # v6e (Trillium; similar per-chip envelope)
+    "tpu v5": 350.0,       # v5p (checked after the "lite" kinds)
     "tpu v4": 300.0,
     "tpu v3": 283.0,
+    "tpu": 300.0,  # unknown TPU generation: a 100 W default would
+                   # under-report energy/carbon ~3x
     "cpu": 65.0,
     "gpu": 300.0,
 }
