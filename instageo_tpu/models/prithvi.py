@@ -539,6 +539,19 @@ class PrithviViT(nn.Module):
     remat: bool = False
     tp_mesh: Optional[Mesh] = None
     gelu: str = "exact"
+    # Transformer-block parameter layout (see stack_block_params):
+    #   "loop"     — per-block subtrees blocks_0..blocks_{d-1}, Python loop
+    #                (default; matches the torch checkpoint layout);
+    #   "scan"     — ONE stacked subtree "blocks" with a leading depth
+    #                axis, applied via lax.scan (O(1) trace/compile size
+    #                in depth — the lever for the 600M's 32-block stack);
+    #   "pipeline" — stacked layout run as a GPipe pipeline over the
+    #                ``pipe`` axis of ``pp_mesh`` (parallel/pp.py).
+    #                Without a mesh (init, eval off-mesh) it degrades to
+    #                "scan" — identical params, identical numerics.
+    block_layout: str = "loop"
+    pp_mesh: Optional[Mesh] = None
+    pp_microbatches: int = 4
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -604,24 +617,108 @@ class PrithviViT(nn.Module):
             [jnp.broadcast_to(cls, (tokens.shape[0], 1, self.embed_dim)), tokens], axis=1
         )
 
-        # Rematerialization trades recompute for activation memory — the
-        # standard lever for fitting Prithvi-600M training on one chip
-        # (jax.checkpoint per transformer block).
-        # static_argnums: the `deterministic` bool (arg 2, counting self)
-        # must stay a Python value under jax.checkpoint — traced, the
-        # attention impl branch would fail at trace time.
-        block_cls = (nn.remat(Block, static_argnums=(2,))
-                     if self.remat else Block)
-        for i in range(self.depth):
-            tokens = block_cls(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                dtype=self.dtype,
-                attn_impl=self.attn_impl,
-                tp_mesh=self.tp_mesh,
-                gelu=self.gelu,
-                name=f"blocks_{i}",
-            )(tokens, deterministic)
+        if self.block_layout == "loop":
+            # Rematerialization trades recompute for activation memory —
+            # the standard lever for fitting Prithvi-600M training on one
+            # chip (jax.checkpoint per transformer block).
+            # static_argnums: the `deterministic` bool (arg 2, counting
+            # self) must stay a Python value under jax.checkpoint —
+            # traced, the attention impl branch would fail at trace time.
+            block_cls = (nn.remat(Block, static_argnums=(2,))
+                         if self.remat else Block)
+            for i in range(self.depth):
+                tokens = block_cls(
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    dtype=self.dtype,
+                    attn_impl=self.attn_impl,
+                    tp_mesh=self.tp_mesh,
+                    gelu=self.gelu,
+                    name=f"blocks_{i}",
+                )(tokens, deterministic)
+        else:
+            tokens = self._apply_blocks_stacked(tokens, deterministic)
 
         tokens = LayerNormTPU(epsilon=1e-5, name="norm")(tokens, not deterministic)
         return tokens
+
+    def _apply_blocks_stacked(self, tokens: jnp.ndarray,
+                              deterministic: bool) -> jnp.ndarray:
+        """Stacked-parameter block application ("scan" / "pipeline").
+
+        One ``blocks`` param subtree with a leading depth axis replaces the
+        ``blocks_0..N`` subtrees (convert with stack_block_params /
+        unstack_block_params — torch loads and the parity suites stay in
+        the loop layout and convert once)."""
+        if self.block_layout not in ("scan", "pipeline"):
+            raise ValueError(
+                f"block_layout={self.block_layout!r} — expected "
+                "loop | scan | pipeline")
+        pipelined = self.block_layout == "pipeline" and self.pp_mesh is not None
+        # Inside shard_map the program is per-device: sharding constraints
+        # (the tp_mesh pins) must not appear there.
+        block = Block(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            tp_mesh=None if pipelined else self.tp_mesh,
+            gelu=self.gelu,
+        )
+
+        def init_stack(rng):
+            dummy = jnp.zeros((1, 8, self.embed_dim), self.dtype)
+            keys = jax.random.split(rng, self.depth)
+            return jax.vmap(
+                lambda k: block.init(k, dummy, True)["params"])(keys)
+
+        blocks_params = self.param("blocks", init_stack)
+
+        def apply_block(p, x):
+            return block.apply({"params": p}, x, deterministic)
+
+        if self.remat:
+            apply_block = jax.checkpoint(apply_block)
+
+        if not pipelined:
+            def body(carry, p):
+                return apply_block(p, carry), None
+
+            tokens, _ = jax.lax.scan(body, tokens, blocks_params)
+            return tokens
+
+        from instageo_tpu.parallel.pp import pipeline_blocks
+
+        return pipeline_blocks(
+            blocks_params, tokens, apply_block,
+            mesh=self.pp_mesh, microbatches=self.pp_microbatches)
+
+
+# ---------------------------------------------------------------------------
+# Block-parameter layout conversion ("loop" <-> "scan"/"pipeline")
+# ---------------------------------------------------------------------------
+
+
+def stack_block_params(encoder_params: dict, depth: int) -> dict:
+    """Convert loop-layout encoder params (blocks_0..blocks_{d-1}) to the
+    stacked layout (one "blocks" subtree with a leading depth axis).
+
+    Torch checkpoint conversion (models/checkpoint.py) and the parity
+    suites always produce the loop layout; convert once after loading when
+    running block_layout="scan"/"pipeline" (train/factory.py does this).
+    """
+    out = {k: v for k, v in encoder_params.items()
+           if not k.startswith("blocks_")}
+    per_block = [encoder_params[f"blocks_{i}"] for i in range(depth)]
+    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_block)
+    return out
+
+
+def unstack_block_params(encoder_params: dict) -> dict:
+    """Inverse of stack_block_params (for checkpoint export / parity)."""
+    out = {k: v for k, v in encoder_params.items() if k != "blocks"}
+    stacked = encoder_params["blocks"]
+    depth = int(jax.tree.leaves(stacked)[0].shape[0])
+    for i in range(depth):
+        out[f"blocks_{i}"] = jax.tree.map(lambda a: a[i], stacked)
+    return out

@@ -226,6 +226,13 @@ class PrithviSeg(nn.Module):
     # Tensor-parallel mesh (clone(tp_mesh=...) when tpu.tp>1): activates
     # the attention sharding constraints in models/prithvi.py.
     tp_mesh: Optional[Any] = None
+    # Transformer-block param layout: loop (default, torch-checkpoint
+    # layout) | scan (stacked params, lax.scan over layers) | pipeline
+    # (stacked + GPipe over the ``pipe`` axis of pp_mesh — parallel/pp.py;
+    # degrades to scan without a mesh). See models/prithvi.py.
+    block_layout: str = "loop"
+    pp_mesh: Optional[Any] = None
+    pp_microbatches: int = 4
 
     def setup(self) -> None:
         arch = get_arch(
@@ -252,6 +259,9 @@ class PrithviSeg(nn.Module):
             remat=self.remat,
             gelu=self.gelu,
             tp_mesh=self.tp_mesh,
+            block_layout=self.block_layout,
+            pp_mesh=self.pp_mesh,
+            pp_microbatches=self.pp_microbatches,
         )
         if self.embed_dims is not None:
             dims = tuple(self.embed_dims)
@@ -339,6 +349,9 @@ def create_prithvi_seg(
     gelu: str = "exact",
     dropout_impl: str = "xla",
     tp_mesh: Optional[Any] = None,
+    block_layout: str = "loop",
+    pp_mesh: Optional[Any] = None,
+    pp_microbatches: int = 4,
 ) -> PrithviSeg:
     """Factory mirroring the reference ``PrithviSeg(...)`` constructor surface."""
     if variant not in PRITHVI_ARCHS:
@@ -356,4 +369,7 @@ def create_prithvi_seg(
         gelu=gelu,
         dropout_impl=dropout_impl,
         tp_mesh=tp_mesh,
+        block_layout=block_layout,
+        pp_mesh=pp_mesh,
+        pp_microbatches=pp_microbatches,
     )

@@ -46,18 +46,27 @@ def make_mesh(num_devices: Optional[int] = None) -> Mesh:
 
 def mesh_from_config(tpu_cfg: Any) -> Mesh:
     """Build the mesh from config: ``tpu.mesh`` (``auto`` or int device
-    count) and ``tpu.tp`` (tensor-parallel degree; >1 builds a 2D
-    (data, model) mesh — see ``parallel/tp.py``)."""
+    count), ``tpu.tp`` (tensor-parallel degree; >1 builds a 2D
+    (data, model) mesh — ``parallel/tp.py``), and ``tpu.pp``
+    (pipeline-parallel stages; >1 builds a 2D (data, pipe) mesh —
+    ``parallel/pp.py``)."""
     spec = None
-    tp = 1
+    tp = pp = 1
     if tpu_cfg:
         spec = tpu_cfg.get("mesh", "auto")
         tp = int(tpu_cfg.get("tp", 1))
+        pp = int(tpu_cfg.get("pp", 1))
     num = None if spec in (None, "auto") else int(spec)
+    if tp > 1 and pp > 1:
+        raise ValueError("tpu.tp and tpu.pp are mutually exclusive")
     if tp > 1:
         from instageo_tpu.parallel.tp import make_mesh_2d
 
         return make_mesh_2d(tp, num)
+    if pp > 1:
+        from instageo_tpu.parallel.pp import make_mesh_pp
+
+        return make_mesh_pp(pp, num)
     return make_mesh(num)
 
 

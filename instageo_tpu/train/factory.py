@@ -44,11 +44,22 @@ def build_model(cfg: Any) -> PrithviSeg:
     for knob, allowed in (("gelu", ("exact", "tanh", "bf16")),
                           ("attn_impl", ("xla", "pallas", "auto")),
                           ("dropout_impl", ("xla", "bits16", "bits8",
-                                            "pallas"))):
+                                            "pallas")),
+                          ("block_layout", ("loop", "scan", "pipeline"))):
         val = str(tpu_cfg.get(knob, allowed[0]))
         if val not in allowed:
             raise ValueError(
                 f"tpu.{knob}={val!r} — expected one of {allowed}")
+    # tpu.pp>1 needs the stacked layout; the mesh itself is attached by the
+    # Trainer (clone(pp_mesh=...)) — init stays meshless via the scan
+    # degradation (models/prithvi.py).
+    block_layout = str(tpu_cfg.get("block_layout", "loop"))
+    if int(tpu_cfg.get("pp", 1)) > 1:
+        if block_layout == "loop":
+            block_layout = "pipeline"
+        if int(tpu_cfg.get("tp", 1)) > 1:
+            raise ValueError("tpu.pp and tpu.tp are mutually exclusive "
+                             "(parallel/pp.py module docstring)")
     return PrithviSeg(
         variant=str(cfg.model.model_name),
         num_classes=num_classes,
@@ -61,6 +72,8 @@ def build_model(cfg: Any) -> PrithviSeg:
         remat=bool((cfg.get("tpu") or {}).get("remat", False)),
         gelu=str((cfg.get("tpu") or {}).get("gelu", "exact")),
         dropout_impl=str((cfg.get("tpu") or {}).get("dropout_impl", "xla")),
+        block_layout=block_layout,
+        pp_microbatches=int(tpu_cfg.get("pp_microbatches", 4)),
     )
 
 
@@ -89,7 +102,7 @@ def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
     ckpt_path = cfg.get("checkpoint_path")
     if ckpt_path:
         variables = load_finetuned(ckpt_path, model, cfg, variables)
-        return model, variables
+        return model, _match_block_layout(variables, model)
 
     if cfg.model.get("load_pretrained_weights", False):
         pre_path = cfg.model.get("pretrained_path") or os.environ.get(
@@ -117,7 +130,8 @@ def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
                                           model_bands=model_bands)
             params = dict(variables["params"])
             params["prithvi_encoder"] = enc
-            variables = {**variables, "params": params}
+            variables = _match_block_layout(
+                {**variables, "params": params}, model)
             log.info("Loaded pretrained encoder from %s", pre_path)
         else:
             log.warning(
@@ -126,6 +140,31 @@ def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
                 "using fresh init."
             )
     return model, variables
+
+
+def _match_block_layout(variables: Dict, model: PrithviSeg) -> Dict:
+    """Convert loaded encoder params onto the model's block layout.
+
+    Torch conversion and pre-layout-change orbax checkpoints carry the
+    loop layout (blocks_0..N); scan/pipeline models need them stacked
+    (models/prithvi.py stack_block_params) — and vice versa for exporting
+    a stacked run back through a loop-layout consumer.
+    """
+    from instageo_tpu.models.prithvi import (stack_block_params,
+                                             unstack_block_params)
+
+    params = variables.get("params", {})
+    enc = params.get("prithvi_encoder")
+    if not isinstance(enc, dict):
+        return variables
+    if model.block_layout != "loop" and "blocks_0" in enc:
+        depth = sum(1 for k in enc if k.startswith("blocks_"))
+        enc = stack_block_params(enc, depth)
+    elif model.block_layout == "loop" and "blocks" in enc:
+        enc = unstack_block_params(enc)
+    else:
+        return variables
+    return {**variables, "params": {**params, "prithvi_encoder": enc}}
 
 
 def load_finetuned(path: str, model: PrithviSeg, cfg: Any,

@@ -150,20 +150,30 @@ class Trainer:
         )
         use_zero1 = (bool(tpu_cfg.get("zero1", False))
                      and int(self.mesh.devices.size) > 1)
+        from instageo_tpu.parallel.pp import has_pipe_axis, pp_place
         from instageo_tpu.parallel.tp import has_model_axis, tp_place
+        use_pp = has_pipe_axis(self.mesh)
         if int(self.mesh.devices.size) > 1:
             # The model clone carries the mesh so the attention body pins
             # its activations (batch on data; heads on model under TP) —
             # without it GSPMD invents head-dim shardings in the scanned
             # ZeRO-1 program and involuntarily rematerializes the softmax
-            # (models/prithvi.py _tp_constrain).
-            self.model = model = model.clone(tp_mesh=self.mesh)
+            # (models/prithvi.py _tp_constrain). Under PP the same mesh
+            # also drives the GPipe shard_map (models/prithvi.py
+            # _apply_blocks_stacked; factory set block_layout=pipeline).
+            clone_kw = {"tp_mesh": self.mesh}
+            if use_pp:
+                clone_kw["pp_mesh"] = self.mesh
+            self.model = model = model.clone(**clone_kw)
         use_fsdp = (bool(tpu_cfg.get("fsdp", False))
                     and int(self.mesh.devices.size) > 1
-                    and not has_model_axis(self.mesh))
+                    and not has_model_axis(self.mesh)
+                    and not use_pp)
 
         def place_params(p):
             """Student/teacher param placement per the configured mode."""
+            if use_pp:
+                return pp_place(p, self.mesh)
             if has_model_axis(self.mesh):
                 return tp_place(p, self.mesh)
             if use_fsdp:
@@ -182,6 +192,7 @@ class Trainer:
         # AdamW state they never read (600M: ~4.8 GB of a 16 GB chip).
         self._use_zero1 = use_zero1
         self._use_fsdp = use_fsdp
+        self._use_pp = use_pp
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=place_params(variables["params"]),
@@ -226,7 +237,14 @@ class Trainer:
             from instageo_tpu.parallel.tp import (has_model_axis,
                                                   place_state_like_params)
 
-            if has_model_axis(self.mesh):
+            if self._use_pp:
+                from instageo_tpu.parallel.pp import pp_specs
+
+                opt_state = place_state_like_params(
+                    opt_state, self.state.params, self.mesh,
+                    zero1=self._use_zero1,
+                    specs=pp_specs(self.state.params))
+            elif has_model_axis(self.mesh):
                 opt_state = place_state_like_params(
                     opt_state, self.state.params, self.mesh,
                     zero1=self._use_zero1)
