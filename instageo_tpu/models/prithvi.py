@@ -437,22 +437,37 @@ class Block(nn.Module):
     attn_impl: str = "xla"
     tp_mesh: Optional[Mesh] = None
     gelu: str = "exact"
+    # Megatron-style sequence parallelism (tpu.sp, requires tp>1): the
+    # residual stream between the matmul regions is sharded over the
+    # MODEL axis on its TOKEN dim. LayerNorm and the residual adds are
+    # token-elementwise, so they run 1/tp-sized per device; GSPMD turns
+    # the boundary collectives into all-gather (entering qkv/fc1) and
+    # reduce-scatter (leaving proj/fc2) — same bytes as TP's two
+    # all-reduces but 1/tp the activation memory in the LN regions.
+    sp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
                  ) -> jnp.ndarray:
         d = x.shape[-1]
+        seq_spec = PartitionSpec("data", "model", None)
+
+        def sp_pin(t: jnp.ndarray) -> jnp.ndarray:
+            return _tp_constrain(self.tp_mesh, t, seq_spec) if self.sp else t
+
+        x = sp_pin(x)
         y = LayerNormTPU(epsilon=1e-5, name="norm1")(x, not deterministic)
         x = x + Attention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             tp_mesh=self.tp_mesh, name="attn"
         )(y.astype(self.dtype))
+        x = sp_pin(x)
         y = LayerNormTPU(epsilon=1e-5, name="norm2")(x, not deterministic)
         x = x + Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, gelu=self.gelu,
             name="mlp"
         )(y.astype(self.dtype))
-        return x
+        return sp_pin(x)
 
 
 def _sincos_from_values(embed_dim: int, values: jnp.ndarray) -> jnp.ndarray:
@@ -552,6 +567,9 @@ class PrithviViT(nn.Module):
     block_layout: str = "loop"
     pp_mesh: Optional[Mesh] = None
     pp_microbatches: int = 4
+    # Sequence parallelism (tpu.sp; only meaningful with a model axis):
+    # the inter-block residual stream is token-sharded — see Block.sp.
+    sp: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -634,6 +652,7 @@ class PrithviViT(nn.Module):
                     attn_impl=self.attn_impl,
                     tp_mesh=self.tp_mesh,
                     gelu=self.gelu,
+                    sp=self.sp,
                     name=f"blocks_{i}",
                 )(tokens, deterministic)
         else:
@@ -664,6 +683,7 @@ class PrithviViT(nn.Module):
             attn_impl=self.attn_impl,
             tp_mesh=None if pipelined else self.tp_mesh,
             gelu=self.gelu,
+            sp=False if pipelined else self.sp,
         )
 
         def init_stack(rng):

@@ -233,6 +233,9 @@ class PrithviSeg(nn.Module):
     block_layout: str = "loop"
     pp_mesh: Optional[Any] = None
     pp_microbatches: int = 4
+    # Megatron sequence parallelism (tpu.sp, needs tp>1): token-shard the
+    # inter-block residual stream over the model axis (prithvi.py Block.sp).
+    sp: bool = False
 
     def setup(self) -> None:
         arch = get_arch(
@@ -262,6 +265,7 @@ class PrithviSeg(nn.Module):
             block_layout=self.block_layout,
             pp_mesh=self.pp_mesh,
             pp_microbatches=self.pp_microbatches,
+            sp=self.sp,
         )
         if self.embed_dims is not None:
             dims = tuple(self.embed_dims)
@@ -352,6 +356,7 @@ def create_prithvi_seg(
     block_layout: str = "loop",
     pp_mesh: Optional[Any] = None,
     pp_microbatches: int = 4,
+    sp: bool = False,
 ) -> PrithviSeg:
     """Factory mirroring the reference ``PrithviSeg(...)`` constructor surface."""
     if variant not in PRITHVI_ARCHS:
@@ -372,4 +377,5 @@ def create_prithvi_seg(
         block_layout=block_layout,
         pp_mesh=pp_mesh,
         pp_microbatches=pp_microbatches,
+        sp=sp,
     )

@@ -60,6 +60,10 @@ def build_model(cfg: Any) -> PrithviSeg:
         if int(tpu_cfg.get("tp", 1)) > 1:
             raise ValueError("tpu.pp and tpu.tp are mutually exclusive "
                              "(parallel/pp.py module docstring)")
+    use_sp = bool(tpu_cfg.get("sp", False))
+    if use_sp and int(tpu_cfg.get("tp", 1)) <= 1:
+        raise ValueError("tpu.sp (sequence parallelism) shards tokens over "
+                         "the model axis — it requires tpu.tp > 1")
     return PrithviSeg(
         variant=str(cfg.model.model_name),
         num_classes=num_classes,
@@ -74,6 +78,7 @@ def build_model(cfg: Any) -> PrithviSeg:
         dropout_impl=str((cfg.get("tpu") or {}).get("dropout_impl", "xla")),
         block_layout=block_layout,
         pp_microbatches=int(tpu_cfg.get("pp_microbatches", 4)),
+        sp=use_sp,
     )
 
 

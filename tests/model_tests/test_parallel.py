@@ -241,3 +241,53 @@ def test_tp_with_scanned_steps():
                                 jax.random.PRNGKey(0), 8)
     assert np.isfinite(m["train_loss"])
     assert int(jax.device_get(trainer.state.step)) == 2
+
+
+def test_sp_trajectory_matches_tp():
+    """tpu.sp (Megatron sequence parallelism) is a layout change only:
+    the tp2+sp loss trajectory tracks plain tp2 (and hence DP)."""
+    from instageo_tpu.parallel.mesh import mesh_from_config
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.trainer import EpochMetrics, Trainer
+
+    overrides = {
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "train.batch_size": 8, "train.ignore_index": -1,
+        "tpu.precision": "f32",
+    }
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
+
+    losses = {}
+    for name, extra in [("tp", {"tpu.tp": 2}),
+                        ("tp_sp", {"tpu.tp": 2, "tpu.sp": True})]:
+        cfg = load_config("config", overrides={**overrides, **extra})
+        model, variables = create_model(cfg)
+        if name == "tp_sp":
+            assert model.sp is True
+        trainer = Trainer(cfg, model, variables,
+                          mesh=mesh_from_config(cfg.get("tpu")))
+        step_losses = []
+        for step in range(3):
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, *trainer._prepare(x, y, 8),
+                jax.random.PRNGKey(step), EpochMetrics.empty(2))
+            step_losses.append(float(metrics.loss_sum))
+        losses[name] = step_losses
+    np.testing.assert_allclose(losses["tp"], losses["tp_sp"], rtol=1e-4)
+
+
+def test_factory_rejects_sp_without_tp():
+    from instageo_tpu.train.factory import build_model
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": 32,
+        "model.model_name": "prithvi_eo_tiny",
+        "tpu.sp": True,
+    })
+    with pytest.raises(ValueError, match="requires tpu.tp"):
+        build_model(cfg)
