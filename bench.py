@@ -165,6 +165,9 @@ def bench_train(platform: str) -> dict:
     cfg = load_config("config", overrides={
         "dataloader.img_size": 224,
         "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        # BENCH_T probes the multi-temporal regime (the reference's crop
+        # task trains T=3 — L grows to 589 and the attention cost shifts).
+        "dataloader.temporal_dim": int(os.environ.get("BENCH_T", "1")),
         "model.model_name": os.environ.get("BENCH_MODEL",
                                            "prithvi_eo_v1_100"),
         "tpu.remat": os.environ.get("BENCH_REMAT", "0") == "1",
@@ -184,7 +187,8 @@ def bench_train(platform: str) -> dict:
     model, variables = create_model(cfg)
     trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32)
+    t_dim = int(os.environ.get("BENCH_T", "1"))
+    x = rng.normal(size=(batch, 6, t_dim, 224, 224)).astype(np.float32)
     y = rng.integers(0, 2, size=(batch, 224, 224)).astype(np.int32)
     xd, yd = trainer._prepare(x, y, batch)
     metrics0 = EpochMetrics.empty(trainer.num_classes)

@@ -297,7 +297,8 @@ class QKVProj(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, heads_first: bool = False
+                 ) -> jnp.ndarray:
         d = x.shape[-1]
         shape = (d, 3, self.num_heads, self.head_dim)
 
@@ -316,11 +317,18 @@ class QKVProj(nn.Module):
         # sliced: the fused activation and its backward concat are pure
         # HBM traffic — the round-3 trace billed the q/k/v slice line
         # ~18 ms of the 220 ms b=128 device step. Numerics identical.
+        # ``heads_first`` emits (B, H, L, Dh) instead — the flash kernel's
+        # layout — for free (it is just the einsum's output layout; same
+        # params, same math).
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         bd = bias.astype(self.dtype)
-        q, k, v = (jnp.einsum("bld,dhk->blhk", xd, kd[:, i]) + bd[i]
-                   for i in range(3))
+        if heads_first:
+            q, k, v = (jnp.einsum("bld,dhk->bhlk", xd, kd[:, i])
+                       + bd[i][:, None, :] for i in range(3))
+        else:
+            q, k, v = (jnp.einsum("bld,dhk->blhk", xd, kd[:, i]) + bd[i]
+                       for i in range(3))
         return q, k, v
 
 
@@ -345,12 +353,6 @@ class Attention(nn.Module):
         b, l, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
-        q, k, v = QKVProj(self.num_heads, head_dim, dtype=self.dtype,
-                          name="qkv")(x)  # 3 x (B, L, H, Dh)
-        spec = PartitionSpec("data", None, "model", None)
-        q = _tp_constrain(self.tp_mesh, q, spec)
-        k = _tp_constrain(self.tp_mesh, k, spec)
-        v = _tp_constrain(self.tp_mesh, v, spec)
 
         impl = self.attn_impl
         if impl == "auto":
@@ -363,17 +365,31 @@ class Attention(nn.Module):
         # custom_vjp, ops/attention.py) so training forwards may use it.
         # On a >1-device mesh the module falls back to XLA: a pallas_call
         # has no GSPMD partitioning rule, so feeding it the sharded
-        # q/k/v pinned above would force replication (or fail to
+        # q/k/v pinned below would force replication (or fail to
         # partition) instead of running per-shard.
         use_pallas = (impl == "pallas"
                       and jax.default_backend() == "tpu"
                       and (self.tp_mesh is None
                            or int(self.tp_mesh.devices.size) == 1))
+        qkv = QKVProj(self.num_heads, head_dim, dtype=self.dtype,
+                      name="qkv")
         if use_pallas:
-            from instageo_tpu.ops.attention import flash_attention
+            # Heads-first (B, H, L, Dh) — the kernel's layout, emitted
+            # directly by the projection einsum so the whole attention
+            # involves zero HBM transposes (ops/attention.py
+            # flash_attention_bhld). The GSPMD pins are skipped: pallas
+            # only runs off-mesh (see use_pallas above).
+            from instageo_tpu.ops.attention import flash_attention_bhld
 
-            out = flash_attention(q, k, v)
+            q, k, v = qkv(x, heads_first=True)
+            out = flash_attention_bhld(q, k, v)
+            out = out.transpose(0, 2, 1, 3)  # (B, L, H, Dh)
         else:
+            q, k, v = qkv(x)  # 3 x (B, L, H, Dh)
+            spec = PartitionSpec("data", None, "model", None)
+            q = _tp_constrain(self.tp_mesh, q, spec)
+            k = _tp_constrain(self.tp_mesh, k, spec)
+            v = _tp_constrain(self.tp_mesh, v, spec)
             scale = head_dim**-0.5
             attn = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
             attn = _tp_constrain(self.tp_mesh, attn,
@@ -382,9 +398,9 @@ class Attention(nn.Module):
             attn = _tp_constrain(self.tp_mesh, attn,
                                  PartitionSpec("data", "model", None, None))
             out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
+            out = _tp_constrain(self.tp_mesh, out,
+                                PartitionSpec("data", None, "model", None))
 
-        out = _tp_constrain(self.tp_mesh, out,
-                            PartitionSpec("data", None, "model", None))
         out = out.reshape(b, l, d)
         return nn.Dense(
             d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj"

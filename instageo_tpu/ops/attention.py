@@ -1,12 +1,27 @@
 """Pallas fused attention for the Prithvi ViT.
 
 Sequence lengths in this model family are short (≤ ~1.1k tokens: T·(224/p)²
-+ 1 — SURVEY.md §5), so K/V for one (batch, head) fit entirely in VMEM and
-the kernel is a single-pass fused softmax-attention: per grid cell it loads
-one query block plus the full K/V, runs the scores/softmax/PV matmuls on
-the MXU without materializing the (L, L) attention matrix in HBM, and
-writes one output block. Numerically stable (row-max subtraction), f32
-accumulation, padding masked with -inf.
++ 1 — SURVEY.md §5), so the whole L×L attention of one (batch, head) pair
+fits in VMEM and the kernel is a single-pass fused softmax-attention with
+NO sequence blocking: per grid cell it processes ``group`` (batch·head)
+pairs end-to-end — scores, numerically stable softmax (row-max
+subtraction, f32 statistics), and the PV matmul — without materializing
+the (L, L) attention matrix in HBM.
+
+Three measured design rules (v5e-1, PERF.md "Flash kernel revisited"):
+
+1. **No HBM padding.** Blocks are ``(group, L, D)`` with L and D equal to
+   the array dims — legal TPU block shapes (trailing two dims equal to the
+   array's), padded only in VMEM registers by Mosaic. The round-2/3 kernel
+   padded L→256 and D 64→128 in HBM, tripling its memory traffic; the pads
+   alone cost more than the XLA path's whole attention at b=128.
+2. **Matmuls in the input dtype** with f32 accumulation
+   (``preferred_element_type``): bf16 inputs take the MXU's native rate
+   instead of the multi-pass f32 lowering an up-front ``astype`` forces.
+3. **``group`` pairs per grid cell** (static Python loop): one pair is
+   only ~17 MFLOP at L=197/Dh=64, so a 1-pair grid is
+   iteration-overhead-bound (~1.9 µs/cell measured vs ~0.6 µs compute);
+   grouping amortizes it.
 
 Falls back to the XLA einsum path off-TPU (and under ``interpret=True`` for
 CPU tests).
@@ -22,127 +37,151 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128
+
+def _group_for(bh: int, l: int) -> int:
+    """(batch·head) pairs per grid cell: largest divisor of B·H within the
+    VMEM budget. Block bytes scale with L (the f32 score scratch with L²),
+    so longer sequences cap the group lower."""
+    cap = 8 if l <= 384 else (4 if l <= 768 else 2)
+    for g in (8, 6, 4, 3, 2):
+        if g <= cap and bh % g == 0:
+            return g
+    return 1
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                 seq_len: int):
-    """One query block vs the full K/V of one (batch·head)."""
-    q = q_ref[0].astype(jnp.float32)  # (BLOCK_Q, D)
-    k = k_ref[0].astype(jnp.float32)  # (L_pad, D)
-    v = v_ref[0].astype(jnp.float32)  # (L_pad, D)
+                 group: int):
+    """Fused attention for ``group`` (batch·head) pairs (module docstring)."""
+    for g in range(group):
+        q = q_ref[g]  # (L, D), input dtype
+        k = k_ref[g]  # (L, D)
+        v = v_ref[g]  # (L, D)
 
-    scores = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (BLOCK_Q, L_pad)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (L, L) f32
 
-    # Mask padded keys.
-    l_pad = scores.shape[-1]
-    if l_pad != seq_len:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(key_ids < seq_len, scores, -jnp.inf)
-
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0] = (out / denom).astype(o_ref.dtype)
-    # Row logsumexp, the only residual the backward needs beyond q/k/v/o.
-    # Kept (BLOCK_Q, 1): TPU block shapes need the last two dims (8k, 128m)
-    # or equal to the array's, so lse is (B·H, L_pad, 1).
-    lse_ref[0] = m + jnp.log(denom)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[g] = (out / denom).astype(o_ref.dtype)
+        # Row logsumexp: the only residual the backward needs beyond
+        # q/k/v/o. (L, 1) per pair — the trailing block dims equal the
+        # array's, which TPU block shapes allow.
+        lse_ref[g] = m + jnp.log(denom)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale: float, seq_len: int):
-    """Flash-attention backward: one query block; dk/dv accumulate across
-    the (minor) query-block grid dimension — their output block index is
-    constant in it, so the partial sums stay resident in VMEM."""
-    i = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)     # (BLOCK_Q, D)
-    k = k_ref[0].astype(jnp.float32)     # (L_pad, D)
-    v = v_ref[0].astype(jnp.float32)     # (L_pad, D)
-    o = o_ref[0].astype(jnp.float32)     # (BLOCK_Q, D)
-    do = do_ref[0].astype(jnp.float32)   # (BLOCK_Q, D)
-    lse = lse_ref[0].astype(jnp.float32)  # (BLOCK_Q, 1)
+                     dq_ref, dk_ref, dv_ref, *, scale: float, group: int):
+    """Flash-attention backward, one full-L cell per (batch·head) group:
+    recomputes the probabilities from the lse residual, then the four
+    grad matmuls — no cross-cell accumulation (the grid is 1D over
+    (batch·head) groups, each owning its whole sequence)."""
+    for g in range(group):
+        q = q_ref[g]    # (L, D), input dtype
+        k = k_ref[g]    # (L, D)
+        v = v_ref[g]    # (L, D)
+        o = o_ref[g]    # (L, D)
+        do = do_ref[g]  # (L, D)
+        lse = lse_ref[g].astype(jnp.float32)  # (L, 1)
 
-    s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (BLOCK_Q, L_pad)
-    l_pad = s.shape[-1]
-    if l_pad != seq_len:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
-    p = jnp.exp(s - lse)                 # exact softmax probs (rows of P)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (L, L) f32
+        p = jnp.exp(s - lse)             # exact softmax probs (rows of P)
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - delta)                # (BLOCK_Q, L_pad)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)  # (L, L)
+        pq = p.astype(q.dtype)
 
-    dq_ref[0] = (scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
-
-    dk_part = scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dv_part = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-    @pl.when(i == 0)
-    def _init():
-        dk_ref[0] = dk_part.astype(dk_ref.dtype)
-        dv_ref[0] = dv_part.astype(dv_ref.dtype)
-
-    @pl.when(i > 0)
-    def _accum():
-        dk_ref[0] += dk_part.astype(dk_ref.dtype)
-        dv_ref[0] += dv_part.astype(dv_ref.dtype)
+        dq_ref[g] = (scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
+        dk_ref[g] = (scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dk_ref.dtype)
+        dv_ref[g] = jax.lax.dot_general(
+            pq, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _prep(x, b, h, l, d, l_pad, d_pad):
-    x = x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
-    return jnp.pad(x, ((0, 0), (0, l_pad - l), (0, d_pad - d)))
+def _prep(x, b, h, l, d):
+    """(B, L, H, D) -> (B·H, L, D). A transpose, no padding (docstring §1)."""
+    return x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
 
 
 def _unprep(x, b, h, l, d):
-    return x[:, :l, :d].reshape(b, h, l, d).transpose(0, 2, 1, 3)
+    return x.reshape(b, h, l, d).transpose(0, 2, 1, 3)
+
+
+def _flash_fwd_flat(qf, kf, vf, interpret):
+    """Forward on the flat (B·H, L, D) layout."""
+    bh, l, d = qf.shape
+    scale = 1.0 / math.sqrt(d)
+    g = _group_for(bh, l)
+    grid = (bh // g,)
+    block = pl.BlockSpec((g, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, group=g),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, l, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, l, 1), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[block, block, block],
+        out_specs=[
+            block,
+            pl.BlockSpec((g, l, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out, lse
+
+
+def _flash_bwd_flat(qf, kf, vf, out, lse, gf, interpret):
+    """Backward on the flat (B·H, L, D) layout; grads in ``gf.dtype``."""
+    bh, l, d = qf.shape
+    scale = 1.0 / math.sqrt(d)
+    grp = _group_for(bh, l)
+    grid = (bh // grp,)
+    block = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    # Grads are written in the input dtype (bf16 in production): halving
+    # the write+readback traffic of the old f32 outputs measured faster,
+    # and the XLA einsum backward also produces bf16 grads there.
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, group=grp),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, l, d), gf.dtype),
+            jax.ShapeDtypeStruct((bh, l, d), gf.dtype),
+            jax.ShapeDtypeStruct((bh, l, d), gf.dtype),
+        ],
+        grid=grid,
+        in_specs=[
+            block, block, block, block, block,
+            pl.BlockSpec((grp, l, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[block, block, block],
+        interpret=interpret,
+    )(qf, kf, vf, out, gf, lse)
 
 
 def _flash_fwd_impl(q, k, v, interpret):
     b, l, h, d = q.shape
-    scale = 1.0 / math.sqrt(d)
-    l_pad = _ceil_to(l, BLOCK_Q)
-    d_pad = _ceil_to(d, 128)
-    qp = _prep(q, b, h, l, d, l_pad, d_pad)
-    kp = _prep(k, b, h, l, d, l_pad, d_pad)
-    vp = _prep(v, b, h, l, d, l_pad, d_pad)
-
-    grid = (b * h, l_pad // BLOCK_Q)
-    qblock = pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, i: (bh, i, 0),
-                          memory_space=pltpu.VMEM)
-    kvblock = pl.BlockSpec((1, l_pad, d_pad), lambda bh, i: (bh, 0, 0),
-                           memory_space=pltpu.VMEM)
-    out, lse = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, seq_len=l),
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, l_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, l_pad, 1), jnp.float32),
-        ],
-        grid=grid,
-        in_specs=[qblock, kvblock, kvblock],
-        out_specs=[
-            qblock,
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, i: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp)
+    qp = _prep(q, b, h, l, d)
+    kp = _prep(k, b, h, l, d)
+    vp = _prep(v, b, h, l, d)
+    out, lse = _flash_fwd_flat(qp, kp, vp, interpret)
     return out, lse, (qp, kp, vp)
 
 
@@ -156,7 +195,7 @@ def flash_attention(
     """Fused attention. q/k/v: (B, L, H, D) -> (B, L, H, D).
 
     Differentiable: the backward is the flash-attention recomputation
-    kernel below (round-3 addition — round 2's kernel was inference-only
+    kernel above (round-3 addition — round 2's kernel was inference-only
     and training forwards silently fell back to XLA)."""
     b, l, h, d = q.shape
     out, _, _ = _flash_fwd_impl(q, k, v, interpret)
@@ -171,40 +210,55 @@ def _flash_fwd(q, k, v, interpret):
 
 def _flash_bwd(interpret, residuals, g):
     qp, kp, vp, out, lse, (b, l, h, d) = residuals
-    scale = 1.0 / math.sqrt(d)
-    l_pad = _ceil_to(l, BLOCK_Q)
-    d_pad = _ceil_to(d, 128)
-    gp = _prep(g, b, h, l, d, l_pad, d_pad)  # zero-padded rows: no dk/dv leak
-
-    grid = (b * h, l_pad // BLOCK_Q)
-    qblock = pl.BlockSpec((1, BLOCK_Q, d_pad), lambda bh, i: (bh, i, 0),
-                          memory_space=pltpu.VMEM)
-    kvblock = pl.BlockSpec((1, l_pad, d_pad), lambda bh, i: (bh, 0, 0),
-                           memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, seq_len=l),
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, l_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, l_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, l_pad, d_pad), jnp.float32),
-        ],
-        grid=grid,
-        in_specs=[
-            qblock, kvblock, kvblock, qblock, qblock,
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda bh, i: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[qblock, kvblock, kvblock],
-        interpret=interpret,
-    )(qp, kp, vp, out, gp, lse)
-
-    dtype = g.dtype
-    return (_unprep(dq, b, h, l, d).astype(dtype),
-            _unprep(dk, b, h, l, d).astype(dtype),
-            _unprep(dv, b, h, l, d).astype(dtype))
+    gp = _prep(g, b, h, l, d)
+    dq, dk, dv = _flash_bwd_flat(qp, kp, vp, out, lse, gp, interpret)
+    return (_unprep(dq, b, h, l, d), _unprep(dk, b, h, l, d),
+            _unprep(dv, b, h, l, d))
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_bhld(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention on the heads-first layout:
+    q/k/v (B, H, L, D) -> (B, H, L, D).
+
+    The layout the kernel wants is exactly the qkv projection's einsum
+    output layout (``models/prithvi.py QKVProj`` with ``heads_first``), so
+    this entry involves ZERO HBM transposes — the (B, H, L, D) ->
+    (B·H, L, D) flattening is a free view. The (B, L, H, D) entry above
+    pays 4 transposes fwd + 4 bwd; at b=128 those were most of its gap to
+    the XLA path (PERF.md "Flash kernel revisited")."""
+    b, h, l, d = q.shape
+    out, _ = _flash_fwd_flat(q.reshape(b * h, l, d), k.reshape(b * h, l, d),
+                             v.reshape(b * h, l, d), interpret)
+    return out.reshape(b, h, l, d)
+
+
+def _flash_bhld_fwd(q, k, v, interpret):
+    b, h, l, d = q.shape
+    qf = q.reshape(b * h, l, d)
+    kf = k.reshape(b * h, l, d)
+    vf = v.reshape(b * h, l, d)
+    out, lse = _flash_fwd_flat(qf, kf, vf, interpret)
+    return out.reshape(b, h, l, d), (qf, kf, vf, out, lse, (b, h, l, d))
+
+
+def _flash_bhld_bwd(interpret, residuals, g):
+    qf, kf, vf, out, lse, (b, h, l, d) = residuals
+    gf = g.reshape(b * h, l, d)
+    dq, dk, dv = _flash_bwd_flat(qf, kf, vf, out, lse, gf, interpret)
+    shape = (b, h, l, d)
+    return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape))
+
+
+flash_attention_bhld.defvjp(_flash_bhld_fwd, _flash_bhld_bwd)
 
 
 def attention_reference(q, k, v):
