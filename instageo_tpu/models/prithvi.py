@@ -356,11 +356,15 @@ class Attention(nn.Module):
 
         impl = self.attn_impl
         if impl == "auto":
-            # Batch size is static under jit, so the choice binds per
-            # compiled program: the Pallas kernel wins ~2.7x at small
-            # batch (latency serving); XLA's fused attention wins ~1.27x
-            # from b≈128 (PERF.md measured crossover).
-            impl = "pallas" if b <= 16 else "xla"
+            # Batch and sequence length are static under jit, so the
+            # choice binds per compiled program: the Pallas kernel wins
+            # ~2.7x at small batch (latency serving), and from L≈512 the
+            # XLA path's (L, L) materialization grows quadratically while
+            # the flash form stays linear — measured +12.6% full-step
+            # train throughput at T=3 (L=589, b=32; PERF.md "Flash kernel
+            # revisited"). At T=1/L=197 and large batch XLA stays ahead
+            # (its attention is near its HBM floor there).
+            impl = "pallas" if (b <= 16 or l >= 512) else "xla"
         # The kernel is differentiable since round 3 (flash backward via
         # custom_vjp, ops/attention.py) so training forwards may use it.
         # On a >1-device mesh the module falls back to XLA: a pallas_call
