@@ -103,6 +103,25 @@ class ModelServer:
             self._batcher_cfg = cfg_key
         return self._batcher
 
+    def export_artifact(self, path: str, *,
+                        batch_size: Optional[int] = None,
+                        probabilities: bool = False) -> str:
+        """Serialize this server's serving forward to a StableHLO
+        artifact (``serve/export.py``): code-free, symbolic-batch unless
+        pinned, shaped from the server's dataloader config."""
+        from instageo_tpu.serve.export import export_predict
+
+        dl = self.cfg.dataloader
+        return export_predict(
+            self.model, self.variables, path,
+            num_bands=len(list(dl.bands)),
+            img_size=int(dl.get("img_size", 224)),
+            temporal_dim=int(dl.get("temporal_dim", 1)),
+            is_reg_task=bool(self.cfg.get("is_reg_task", False)),
+            probabilities=probabilities,
+            batch_size=batch_size,
+        )
+
     def close(self) -> None:
         """Stop the batcher worker thread (its bound-method reference
         roots the model weights for the thread's lifetime)."""

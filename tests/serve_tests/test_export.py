@@ -55,6 +55,29 @@ def test_export_probabilities_and_pinned_batch(tmp_path):
         predict(variables, np.zeros((3, 6, 1, 32, 32), np.float32))
 
 
+def test_model_server_export_artifact(tmp_path):
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.serve.server import ModelServer
+    from instageo_tpu.train.factory import create_model
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "tpu.precision": "f32",
+    })
+    server = ModelServer.__new__(ModelServer)  # skip checkpoint loading
+    server.cfg = cfg
+    server.model, server.variables = create_model(cfg)
+
+    path = server.export_artifact(str(tmp_path / "server.stablehlo"))
+    predict, meta = load_predict(path)
+    assert meta["input_shape"] == [None, 6, 1, 32, 32]
+    x = np.zeros((2, 6, 1, 32, 32), np.float32)
+    assert predict(server.variables, x).shape == (2, 32, 32)
+
+
 def test_export_artifact_is_code_free_and_small(tmp_path):
     """The artifact carries the program, not the weights: it stays small
     and the SAME artifact serves re-trained variables."""
