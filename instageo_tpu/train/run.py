@@ -3,7 +3,8 @@
 The reference's Hydra entry point (``instageo/model/run.py:60-246``) with the
 same mode surface — ``train``, ``eval``, ``chip_inference``, ``stats`` — and
 the same config keys, re-hosted on the framework's config system and TPU
-training stack. Seed 1042 matches the reference (run.py:50-53); determinism
+training stack. Two beyond-parity modes: ``sliding_inference`` (granule
+streaming) and ``export`` (StableHLO serving artifact, serve/export.py). Seed 1042 matches the reference (run.py:50-53); determinism
 comes from jax's stateless PRNG rather than cudnn flags.
 """
 
@@ -303,6 +304,32 @@ def main(argv: Optional[List[str]] = None) -> Any:
         print(json.dumps({"granules": n, "seconds": dt,
                           "out_dir": out_dir}))
         return n
+
+    if mode == "export":
+        # Serialize the serving forward to a deployable StableHLO
+        # artifact (serve/export.py): code-free, symbolic-batch (pin
+        # with export.batch_size), weights stay in the checkpoint.
+        check_required_flags(["root_dir", "checkpoint_path"], cfg)
+        from instageo_tpu.serve.export import export_predict
+
+        exp = cfg.get("export") or {}
+        out_path = str(exp.get("path") or
+                       os.path.join(cfg.root_dir, "predict.stablehlo"))
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        bs = exp.get("batch_size")
+        export_predict(
+            model, variables, out_path,
+            num_bands=len(list(cfg.dataloader.bands)),
+            img_size=int(cfg.dataloader.get("img_size", 224)),
+            temporal_dim=int(cfg.dataloader.get("temporal_dim", 1)),
+            is_reg_task=bool(cfg.get("is_reg_task", False)),
+            probabilities=bool(exp.get("probabilities", False)),
+            batch_size=None if bs in (None, "null") else int(bs),
+        )
+        print(json.dumps({"artifact": out_path,
+                          "bytes": os.path.getsize(out_path),
+                          "seconds": time.time() - start_time}))
+        return out_path
 
     raise ValueError(f"Unknown mode {mode!r}")
 

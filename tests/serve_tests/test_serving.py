@@ -189,6 +189,36 @@ def test_tp_serving_matches_replicated(trained_world, tmp_path):
         np.testing.assert_array_equal(outs["rep"][k], outs["tp"][k])
 
 
+def test_run_cli_export_mode(trained_world, tmp_path):
+    """mode=export writes a reloadable StableHLO artifact from the
+    trained checkpoint (serve/export.py via the run CLI)."""
+    from instageo_tpu.serve.export import load_predict
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.run import main as run_main
+
+    root, ckpt = trained_world
+    out = tmp_path / "flood.stablehlo"
+    path = run_main([
+        "mode=export",
+        f"root_dir={root}", f"checkpoint_path={ckpt}",
+        f"export.path={out}",
+        "model.model_name=prithvi_eo_tiny",
+        "model.load_pretrained_weights=False",
+        "dataloader.img_size=32", "dataloader.bands=[0,1,2,3,4,5]",
+        "tpu.precision=f32",
+    ])
+    assert path == str(out) and out.exists()
+
+    predict, meta = load_predict(path)
+    assert meta["input_shape"] == [None, 6, 1, 32, 32]
+    cfg = _serving_cfg(root, ckpt)
+    _, variables = create_model(cfg)
+    x = np.random.default_rng(0).normal(
+        size=(2, 6, 1, 32, 32)).astype(np.float32)
+    preds = predict(variables, x)
+    assert preds.shape == (2, 32, 32) and preds.dtype == np.int8
+
+
 def test_save_prediction_anchors_center_crop(tmp_path):
     """A prediction smaller than its source chip (img_size < chip_size,
     center crop) is georeferenced at the CROP's origin, not the chip's."""
