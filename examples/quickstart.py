@@ -1,4 +1,4 @@
-"""Quickstart: synthetic chips -> train -> eval -> inference -> map.
+"""Quickstart: synthetic chips -> train -> eval -> inference -> map -> export.
 
 Runs entirely offline on CPU or TPU in a couple of minutes:
 
@@ -42,7 +42,7 @@ def make_dataset(root: str, n: int = 16, size: int = 32) -> None:
 def main() -> None:
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/instageo_demo"
     os.makedirs(root, exist_ok=True)
-    print(f"1/4 Writing a synthetic chip dataset to {root}")
+    print(f"1/5 Writing a synthetic chip dataset to {root}")
     make_dataset(root)
 
     from instageo_tpu.train.run import main as run_main
@@ -59,17 +59,17 @@ def main() -> None:
         "train.batch_size=8", "train.num_epochs=3", "train.learning_rate=0.002",
         "test.img_size=32", "test.crop_size=32", "test.stride=32",
     ]
-    print("2/4 Training prithvi_eo_tiny for 3 epochs")
+    print("2/5 Training prithvi_eo_tiny for 3 epochs")
     run_main(["mode=train"] + common)
     ckpt = f"{root}/run/instageo_best_checkpoint"
 
-    print("3/4 Evaluating + running chip inference")
+    print("3/5 Evaluating + running chip inference")
     metrics = run_main(["mode=eval", f"checkpoint_path={ckpt}"] + common)
     print(f"    test accuracy: {metrics['test_Acc']:.3f}, "
           f"IoU: {metrics['test_IoU']:.3f}")
     run_main(["mode=chip_inference", f"checkpoint_path={ckpt}"] + common)
 
-    print("4/4 Rendering the prediction map")
+    print("4/5 Rendering the prediction map")
     import glob
 
     from instageo_tpu.apps.viz import create_map_with_geotiff_tiles
@@ -77,6 +77,12 @@ def main() -> None:
     preds = sorted(glob.glob(f"{root}/predictions/prediction_*.tif"))
     out = create_map_with_geotiff_tiles(preds, f"{root}/map.html",
                                         threshold=(0.5, 1.0))
+
+    print("5/5 Exporting a deployable StableHLO serving artifact")
+    artifact = run_main(["mode=export", f"checkpoint_path={ckpt}",
+                         f"export.path={root}/predict.stablehlo"] + common)
+    print(f"    artifact: {artifact} "
+          f"({os.path.getsize(artifact)} bytes, code-free, any batch)")
     print(f"Done. Open {out} in a browser.")
 
 
