@@ -78,9 +78,16 @@ def export_predict(
         b = int(batch_size)
     x_spec = jax.ShapeDtypeStruct((b, num_bands, temporal_dim, img_size,
                                    img_size), jnp.float32)
-    var_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
-        variables)
+    def _spec(a):
+        # Read the dtype WITHOUT materializing on device: host numpy
+        # weights (fresh checkpoint loads) would otherwise be transferred
+        # through the ~10-25 MB/s TPU relay just to be inspected.
+        dt = getattr(a, "dtype", None)
+        if dt is None:
+            dt = np.asarray(a).dtype
+        return jax.ShapeDtypeStruct(jnp.shape(a), dt)
+
+    var_spec = jax.tree.map(_spec, variables)
     exported = jax_export.export(jax.jit(predict),
                                  platforms=tuple(platforms))(var_spec, x_spec)
     blob = exported.serialize()

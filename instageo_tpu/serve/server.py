@@ -109,12 +109,24 @@ class ModelServer:
         """Serialize this server's serving forward to a StableHLO
         artifact (``serve/export.py``): code-free, symbolic-batch unless
         pinned, shaped from the server's dataloader config."""
+        from instageo_tpu.parallel.tp import has_model_axis
         from instageo_tpu.serve.export import export_predict
 
         dl = self.cfg.dataloader
+        model, variables = self.model, self.variables
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None and has_model_axis(mesh):
+            # A tp>1 server holds a mesh-carrying model clone (sharding
+            # constraints in apply) and TP-sharded weights; exporting
+            # those would bake an N-device mesh into the advertised
+            # portable single-device artifact. Export an unsharded clone
+            # with host-gathered weights instead.
+            model = model.clone(tp_mesh=None)
+            variables = jax.device_get(variables)
+        bands = dl.get("bands")
         return export_predict(
-            self.model, self.variables, path,
-            num_bands=len(list(dl.bands)),
+            model, variables, path,
+            num_bands=len(list(bands)) if bands else int(model.in_chans),
             img_size=int(dl.get("img_size", 224)),
             temporal_dim=int(dl.get("temporal_dim", 1)),
             is_reg_task=bool(self.cfg.get("is_reg_task", False)),

@@ -317,9 +317,10 @@ def main(argv: Optional[List[str]] = None) -> Any:
                        os.path.join(cfg.root_dir, "predict.stablehlo"))
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         bs = exp.get("batch_size")
+        bands = cfg.dataloader.get("bands")
         export_predict(
             model, variables, out_path,
-            num_bands=len(list(cfg.dataloader.bands)),
+            num_bands=len(list(bands)) if bands else int(model.in_chans),
             img_size=int(cfg.dataloader.get("img_size", 224)),
             temporal_dim=int(cfg.dataloader.get("temporal_dim", 1)),
             is_reg_task=bool(cfg.get("is_reg_task", False)),

@@ -55,6 +55,46 @@ def test_export_probabilities_and_pinned_batch(tmp_path):
         predict(variables, np.zeros((3, 6, 1, 32, 32), np.float32))
 
 
+def test_model_server_export_artifact_tp_sharded(tmp_path):
+    """A tp>1 server must export an UNSHARDED artifact: its live model
+    clone carries mesh sharding constraints and its weights are
+    TP-sharded, which would bake an N-device mesh into the advertised
+    portable single-device artifact (round-3 advisor finding)."""
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.parallel.tp import make_mesh_2d, tp_place
+    from instageo_tpu.serve.server import ModelServer
+    from instageo_tpu.train.factory import create_model
+
+    cfg = load_config("config", overrides={
+        "dataloader.img_size": 32,
+        "dataloader.bands": [0, 1, 2, 3, 4, 5],
+        "model.model_name": "prithvi_eo_tiny",
+        "model.load_pretrained_weights": False,
+        "tpu.precision": "f32",
+        "tpu.tp": 2,
+    })
+    server = ModelServer.__new__(ModelServer)  # skip checkpoint loading
+    server.cfg = cfg
+    model, variables = create_model(cfg)
+    server.mesh = make_mesh_2d(tp=2)
+    from instageo_tpu.parallel.mesh import replicate_tree
+
+    server.model = model.clone(tp_mesh=server.mesh)
+    server.variables = {
+        **{k: replicate_tree(v, server.mesh)
+           for k, v in variables.items() if k != "params"},
+        "params": tp_place(variables["params"], server.mesh),
+    }
+
+    path = server.export_artifact(str(tmp_path / "tp.stablehlo"))
+    predict, meta = load_predict(path)
+    x = np.zeros((2, 6, 1, 32, 32), np.float32)
+    # The artifact must run against plain HOST weights (no mesh baked in).
+    host_vars = jax.device_get(variables)
+    got = predict(host_vars, x)
+    assert got.shape == (2, 32, 32)
+
+
 def test_model_server_export_artifact(tmp_path):
     from instageo_tpu.configs.config import load_config
     from instageo_tpu.serve.server import ModelServer
