@@ -107,10 +107,15 @@ def bench_inference(platform: str) -> dict:
         os.environ.get("BENCH_MODEL", "prithvi_eo_v1_100"),
         num_classes=2, temporal_step=1,
         image_size=224, num_bands=6, dtype=jnp.bfloat16,
-        # XLA attention wins at this batch size (~1.3x vs the Pallas
-        # kernel); attn_impl="pallas" is better for low-latency serving.
+        # BENCH_ATTN probes the attention impl (default auto: the
+        # merged-output flash kernel wins fwd+bwd at every measured batch
+        # since round 4; see models/prithvi.py Attention for the policy).
         # BENCH_GELU=tanh|bf16 probes the serving-side tpu.gelu knob.
+        attn_impl=os.environ.get("BENCH_ATTN", "auto"),
         gelu=os.environ.get("BENCH_GELU", "exact"),
+        # BENCH_HEAD=fast probes the lane-filling decoder head
+        # (model.head_impl; models/seg.py).
+        head_impl=os.environ.get("BENCH_HEAD", "torch"),
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32))
@@ -175,7 +180,8 @@ def bench_train(platform: str) -> dict:
         # the step — the HBM lever for the 600M variant without remat.
         "train.grad_accum": int(os.environ.get("BENCH_GRAD_ACCUM", "1")),
         "tpu.dropout_impl": os.environ.get("BENCH_DROPOUT_IMPL", "xla"),
-        "tpu.attn_impl": os.environ.get("BENCH_ATTN", "xla"),
+        "tpu.attn_impl": os.environ.get("BENCH_ATTN", "auto"),
+        "model.head_impl": os.environ.get("BENCH_HEAD", "torch"),
         "model.load_pretrained_weights": False,
         "train.batch_size": batch,
         "train.ignore_index": -1,

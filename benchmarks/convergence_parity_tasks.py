@@ -323,10 +323,20 @@ def main(task, steps, batch=8, eval_every=None, lr=1e-3,
         raise SystemExit(f"unknown task {task}")
 
     jf, tf = jc[-1][1], tc[-1][1]
+    # Round-4 tightening (VERDICT r3 #6): every checkpoint past the
+    # warm-up horizon must hold tolerance, not just the final step (the
+    # 13-class run's step-160 0.083 excursion vs tol 0.08 recorded in
+    # PARITY.md §2b is exactly what final-only asserting hides).
+    warmup_steps = steps * 0.5
+    post = [(sj, abs(mj - mt)) for (sj, mj), (st, mt) in zip(jc, tc)
+            if sj == st and sj > warmup_steps]
+    post_env = max(d for _, d in post) if post else abs(jf - tf)
     report = {"task": task, "steps": steps, "metric": metric,
               "jax_curve": jc, "torch_curve": tc,
               "jax_final": jf, "torch_final": tf,
               "delta": abs(jf - tf), "tolerance": tol,
+              "warmup_steps": warmup_steps,
+              "post_warmup_max_delta": post_env,
               "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(report, indent=1))
     if check_bars:
@@ -336,7 +346,9 @@ def main(task, steps, batch=8, eval_every=None, lr=1e-3,
         else:
             assert jf <= min_bar, f"jax {metric} {jf} > {min_bar}"
             assert tf <= min_bar, f"torch {metric} {tf} > {min_bar}"
-    assert abs(jf - tf) <= tol, f"diverged: jax {jf:.4f} vs torch {tf:.4f}"
+    assert post_env <= tol, (
+        f"diverged past warm-up: max checkpoint delta {post_env:.4f} > "
+        f"{tol} (finals: jax {jf:.4f} vs torch {tf:.4f})")
     return report
 
 

@@ -347,24 +347,28 @@ class Attention(nn.Module):
     tp_mesh: Optional[Mesh] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # (No dropout in Prithvi attention — Block's `deterministic`
-        # governs only the LayerNorm form, so it is not threaded here.)
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+                 ) -> jnp.ndarray:
+        # (No dropout in Prithvi attention — `deterministic` is threaded
+        # only as the train-vs-inference signal for the auto impl choice.)
         b, l, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
 
         impl = self.attn_impl
         if impl == "auto":
-            # Batch and sequence length are static under jit, so the
-            # choice binds per compiled program: the Pallas kernel wins
-            # ~2.7x at small batch (latency serving), and from L≈512 the
-            # XLA path's (L, L) materialization grows quadratically while
-            # the flash form stays linear — measured +12.6% full-step
-            # train throughput at T=3 (L=589, b=32; PERF.md "Flash kernel
-            # revisited"). At T=1/L=197 and large batch XLA stays ahead
-            # (its attention is near its HBM floor there).
-            impl = "pallas" if (b <= 16 or l >= 512) else "xla"
+            # Batch/length/mode are static under jit, so the choice binds
+            # per compiled program. The merged-output flash kernel
+            # (round 4) wins every measured TRAINING step — fwd+bwd with
+            # zero layout work: +5.3% at b=128/L=197 (599.9 vs 569.9
+            # chips/s), +12.6% at T=3/L=589 — and small-batch serving
+            # (~2.7x kernel-level at b≤16). Large-batch INFERENCE stays
+            # XLA: forward-only at b=512 measured 1722 (xla) vs 1596
+            # (pallas) chips/s — XLA fuses its attention chain into the
+            # neighbors and is near its HBM floor at L=197 (PERF.md
+            # "Flash kernel revisited", round-4 update).
+            training = not deterministic
+            impl = "pallas" if (training or b <= 16 or l >= 512) else "xla"
         # The kernel is differentiable since round 3 (flash backward via
         # custom_vjp, ops/attention.py) so training forwards may use it.
         # On a >1-device mesh the module falls back to XLA: a pallas_call
@@ -378,16 +382,17 @@ class Attention(nn.Module):
         qkv = QKVProj(self.num_heads, head_dim, dtype=self.dtype,
                       name="qkv")
         if use_pallas:
-            # Heads-first (B, H, L, Dh) — the kernel's layout, emitted
-            # directly by the projection einsum so the whole attention
-            # involves zero HBM transposes (ops/attention.py
-            # flash_attention_bhld). The GSPMD pins are skipped: pallas
-            # only runs off-mesh (see use_pallas above).
-            from instageo_tpu.ops.attention import flash_attention_bhld
+            # Heads-first (B, H, L, Dh) in — emitted directly by the
+            # projection einsum — and MERGED-HEADS (B, L, D) out: the
+            # kernel epilogue writes each head at its column offset
+            # (ops/attention.py flash_attention_blo), so the whole
+            # attention chain (fwd AND bwd) involves zero HBM transposes.
+            # The GSPMD pins are skipped: pallas only runs off-mesh (see
+            # use_pallas above).
+            from instageo_tpu.ops.attention import flash_attention_blo
 
             q, k, v = qkv(x, heads_first=True)
-            out = flash_attention_bhld(q, k, v)
-            out = out.transpose(0, 2, 1, 3)  # (B, L, H, Dh)
+            out = flash_attention_blo(q, k, v)  # (B, L, D) — proj-ready
         else:
             q, k, v = qkv(x)  # 3 x (B, L, H, Dh)
             spec = PartitionSpec("data", None, "model", None)
@@ -404,8 +409,8 @@ class Attention(nn.Module):
             out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
             out = _tp_constrain(self.tp_mesh, out,
                                 PartitionSpec("data", None, "model", None))
+            out = out.reshape(b, l, d)
 
-        out = out.reshape(b, l, d)
         return nn.Dense(
             d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
         )(out)
@@ -480,7 +485,7 @@ class Block(nn.Module):
         x = x + Attention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             tp_mesh=self.tp_mesh, name="attn"
-        )(y.astype(self.dtype))
+        )(y.astype(self.dtype), deterministic)
         x = sp_pin(x)
         y = LayerNormTPU(epsilon=1e-5, name="norm2")(x, not deterministic)
         x = x + Mlp(

@@ -223,6 +223,20 @@ class PrithviSeg(nn.Module):
     remat: bool = False
     gelu: str = "exact"
     dropout_impl: str = "xla"
+    # Decoder-head implementation (model.head_impl):
+    #   "torch" — the reference's 4-stage halving head (above), exact
+    #             torch parity incl. checkpoint layout (default);
+    #   "fast"  — TPU lane-filling head: 3 upscaling stages with a
+    #             128-channel floor (the torch head's ≤96-channel stages
+    #             pad to the MXU's 128 lanes at ~29% MFU — PERF.md
+    #             "Ceiling analysis"), 1×1 classifier at half
+    #             resolution, bilinear resize of the LOGITS to the input
+    #             resolution. Legal because the reference re-initializes
+    #             the head from scratch per task (model.py:292-419);
+    #             opt-in because its params don't map onto torch
+    #             checkpoints (scopes are fast_* so a cross-impl resume
+    #             fails loudly instead of silently mismatching).
+    head_impl: str = "torch"
     # Tensor-parallel mesh (clone(tp_mesh=...) when tpu.tp>1): activates
     # the attention sharding constraints in models/prithvi.py.
     tp_mesh: Optional[Any] = None
@@ -275,14 +289,34 @@ class PrithviSeg(nn.Module):
                 (arch.embed_dim * self.temporal_step) // (2**i) for i in range(5)
             )
         self._head_dims = dims
-        kernels = SEG_HEAD_KERNEL_SIZES[self.variant]
-        self.up_blocks = [
-            UpscalingBlock(
-                dims[i + 1], conv_kernel=kernels[i], dtype=self.dtype,
-                dropout_impl=self.dropout_impl, name=f"up_{i}"
-            )
-            for i in range(4)
-        ]
+        if self.head_impl == "fast":
+            base = dims[0]
+            fdims = [base] + [max(base // (2 ** (i + 1)), 128)
+                              for i in range(3)]
+            self._fast_dims = tuple(fdims)
+            self.up_blocks = [
+                UpscalingBlock(
+                    fdims[i + 1], conv_kernel=3, dtype=self.dtype,
+                    dropout_impl=self.dropout_impl, name=f"fast_up_{i}"
+                )
+                for i in range(3)
+            ]
+            head_in = fdims[3]
+            head_name = "fast_head_conv"
+        elif self.head_impl == "torch":
+            kernels = SEG_HEAD_KERNEL_SIZES[self.variant]
+            self.up_blocks = [
+                UpscalingBlock(
+                    dims[i + 1], conv_kernel=kernels[i], dtype=self.dtype,
+                    dropout_impl=self.dropout_impl, name=f"up_{i}"
+                )
+                for i in range(4)
+            ]
+            head_in = dims[4]
+            head_name = "head_conv"
+        else:
+            raise ValueError(
+                f"head_impl={self.head_impl!r} — expected torch | fast")
         self.head_dropout = TPUDropout(0.1, impl=self.dropout_impl)
         self.head_conv = nn.Conv(
             self.num_classes,
@@ -290,8 +324,8 @@ class PrithviSeg(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=_conv_init,
-            bias_init=_torch_bias_init(dims[4]),  # 1x1 conv: fan_in = C_in
-            name="head_conv",
+            bias_init=_torch_bias_init(head_in),  # 1x1 conv: fan_in = C_in
+            name=head_name,
         )
 
     def __call__(
@@ -323,6 +357,16 @@ class PrithviSeg(nn.Module):
             x = block(x, train=train)
         x = self.head_dropout(x, deterministic=not train)
         logits = self.head_conv(x)
+        if self.head_impl == "fast":
+            # Classifier ran at half resolution; bilinear-resize the
+            # C-channel LOGITS (cheap — num_classes channels) to the
+            # input resolution. f32 before the resize: bf16 logit
+            # interpolation costs measurable mIoU near decision borders.
+            h_out, w_out = img.shape[-2:]
+            logits = jax.image.resize(
+                logits.astype(jnp.float32),
+                (logits.shape[0], h_out, w_out, logits.shape[-1]),
+                method="bilinear")
 
         if channels_last:
             # Serving-side option: return NHWC logits directly (consumers
@@ -352,6 +396,7 @@ def create_prithvi_seg(
     remat: bool = False,
     gelu: str = "exact",
     dropout_impl: str = "xla",
+    head_impl: str = "torch",
     tp_mesh: Optional[Any] = None,
     block_layout: str = "loop",
     pp_mesh: Optional[Any] = None,
@@ -373,6 +418,7 @@ def create_prithvi_seg(
         remat=remat,
         gelu=gelu,
         dropout_impl=dropout_impl,
+        head_impl=head_impl,
         tp_mesh=tp_mesh,
         block_layout=block_layout,
         pp_mesh=pp_mesh,

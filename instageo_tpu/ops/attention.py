@@ -49,6 +49,16 @@ def _group_for(bh: int, l: int) -> int:
     return 1
 
 
+def _group_heads(h: int, l: int) -> int:
+    """Heads per grid cell for the (B, H//g) grid of the fused-output
+    kernel: largest divisor of H within the same VMEM budget."""
+    cap = 8 if l <= 384 else (4 if l <= 768 else 2)
+    for g in (8, 6, 4, 3, 2):
+        if g <= cap and h % g == 0:
+            return g
+    return 1
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                  group: int):
     """Fused attention for ``group`` (batch·head) pairs (module docstring)."""
@@ -110,6 +120,174 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[g] = jax.lax.dot_general(
             pq, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _attn_kernel_blo(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                     group: int, head_dim: int):
+    """Fused attention writing the output in MERGED-HEADS layout.
+
+    q/k/v blocks: (1, group, L, Dh) heads-first; the output block is
+    (1, L, group·Dh) — head g's columns land at [g·Dh, (g+1)·Dh), i.e.
+    exactly the (B, L, H·Dh) layout the output projection matmul
+    consumes. This kills the (B,H,L,D)->(B,L,H,D) transpose that ate the
+    round-3c kernel's full-step win (PERF.md "Flash kernel revisited"):
+    the merge is a static column offset in the epilogue, free in VMEM.
+    """
+    outs = []
+    for g in range(group):
+        q = q_ref[0, g]  # (L, Dh), input dtype
+        k = k_ref[0, g]
+        v = v_ref[0, g]
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (L, L) f32
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((out / denom).astype(o_ref.dtype))
+        lse_ref[0, g] = m + jnp.log(denom)
+    # One full-width aligned store (the per-head concat is an in-register
+    # lane relayout) instead of `group` sub-tile column writes at
+    # 64-lane offsets.
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _attn_bwd_kernel_blo(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                         dq_ref, dk_ref, dv_ref, *, scale: float,
+                         group: int, head_dim: int):
+    """Backward for the merged-output layout: o/do arrive as
+    (1, L, group·Dh) column blocks (the residual layout the loss's
+    backward produces — no transpose), q/k/v and the grads stay
+    heads-first (1, group, L, Dh)."""
+    # Full-width aligned loads once; the per-head views below are
+    # in-register lane slices.
+    o_full = o_ref[0]    # (L, group·Dh)
+    do_full = do_ref[0]
+    for g in range(group):
+        q = q_ref[0, g]    # (L, Dh), input dtype
+        k = k_ref[0, g]
+        v = v_ref[0, g]
+        o = jax.lax.slice_in_dim(o_full, g * head_dim,
+                                 (g + 1) * head_dim, axis=1)
+        do = jax.lax.slice_in_dim(do_full, g * head_dim,
+                                  (g + 1) * head_dim, axis=1)
+        lse = lse_ref[0, g].astype(jnp.float32)  # (L, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (L, L) f32
+        p = jnp.exp(s - lse)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)  # (L, L)
+        pq = p.astype(q.dtype)
+
+        dq_ref[0, g] = (scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
+        dk_ref[0, g] = (scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dk_ref.dtype)
+        dv_ref[0, g] = jax.lax.dot_general(
+            pq, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _flash_fwd_blo(q, k, v, interpret):
+    """Forward: q/k/v (B, H, L, Dh) -> out (B, L, H·Dh) + lse residual."""
+    b, h, l, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    g = _group_heads(h, l)
+    grid = (b, h // g)
+    qkv_spec = pl.BlockSpec((1, g, l, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_kernel_blo, scale=scale, group=g,
+                          head_dim=d),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, l, 1), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_specs=[
+            pl.BlockSpec((1, l, g * d), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, l, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_blo(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention, heads-first in, MERGED-HEADS out:
+    q/k/v (B, H, L, Dh) -> (B, L, H·Dh).
+
+    The full zero-layout-work attention: the qkv projection einsum emits
+    heads-first for free (``QKVProj heads_first=True``), and the output
+    lands in the exact layout the output projection's (H·Dh, D) matmul
+    contracts over — the head merge is a static column offset inside the
+    kernel epilogue. Neither the forward nor the backward touches an HBM
+    transpose anywhere in the attention chain (round-4 fix for the
+    round-3c finding that one residual transpose + its backward twin ate
+    the kernel-level win; PERF.md)."""
+    out, _ = _flash_fwd_blo(q, k, v, interpret)
+    return out
+
+
+def _flash_blo_fwd(q, k, v, interpret):
+    out, lse = _flash_fwd_blo(q, k, v, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_blo_bwd(interpret, residuals, do):
+    q, k, v, out, lse = residuals
+    b, h, l, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    g = _group_heads(h, l)
+    grid = (b, h // g)
+    qkv_spec = pl.BlockSpec((1, g, l, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, l, g * d), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_blo, scale=scale, group=g,
+                          head_dim=d),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, l, d), do.dtype),
+            jax.ShapeDtypeStruct((b, h, l, d), do.dtype),
+            jax.ShapeDtypeStruct((b, h, l, d), do.dtype),
+        ],
+        grid=grid,
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec, o_spec, o_spec,
+            pl.BlockSpec((1, g, l, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        interpret=interpret,
+    )(q, k, v, out, do, lse)
+    return dq, dk, dv
+
+
+flash_attention_blo.defvjp(_flash_blo_fwd, _flash_blo_bwd)
 
 
 def _prep(x, b, h, l, d):

@@ -37,16 +37,22 @@ class ModelServer:
         self.mesh = mesh_from_config(cfg.get("tpu"))
         from instageo_tpu.parallel.tp import has_model_axis, tp_place
 
-        if has_model_axis(self.mesh):
-            # tpu.tp>1: serve with tensor-parallel weights — lower
-            # latency for the large variants at small serving batches.
-            # (clone carries the mesh for the attention sharding
-            # constraints; see train/trainer.py.)
+        if int(self.mesh.devices.size) > 1:
+            # Any multi-device serving mesh: the clone carries the mesh —
+            # same rule as train/trainer.py — both for the attention
+            # sharding constraints (TP) and so the attention body KNOWS
+            # it is on a mesh and falls back to XLA instead of emitting a
+            # pallas_call (which has no GSPMD partitioning rule) into a
+            # sharded program. Params are TP-sharded when a model axis
+            # exists (tpu.tp>1 — lower latency for the large variants at
+            # small serving batches), replicated for pure-DP meshes.
             self.model = self.model.clone(tp_mesh=self.mesh)
+            place = (tp_place if has_model_axis(self.mesh)
+                     else replicate_tree)
             self.variables = {
                 **{k: replicate_tree(v, self.mesh)
                    for k, v in self.variables.items() if k != "params"},
-                "params": tp_place(self.variables["params"], self.mesh),
+                "params": place(self.variables["params"], self.mesh),
             }
         self._trainer: Optional[Trainer] = None
         self.start_time = time.time()
@@ -109,18 +115,16 @@ class ModelServer:
         """Serialize this server's serving forward to a StableHLO
         artifact (``serve/export.py``): code-free, symbolic-batch unless
         pinned, shaped from the server's dataloader config."""
-        from instageo_tpu.parallel.tp import has_model_axis
         from instageo_tpu.serve.export import export_predict
 
         dl = self.cfg.dataloader
         model, variables = self.model, self.variables
-        mesh = getattr(self, "mesh", None)
-        if mesh is not None and has_model_axis(mesh):
-            # A tp>1 server holds a mesh-carrying model clone (sharding
-            # constraints in apply) and TP-sharded weights; exporting
-            # those would bake an N-device mesh into the advertised
-            # portable single-device artifact. Export an unsharded clone
-            # with host-gathered weights instead.
+        if getattr(model, "tp_mesh", None) is not None:
+            # A multi-device server holds a mesh-carrying model clone
+            # (sharding constraints in apply) and mesh-placed weights;
+            # exporting those would bake an N-device mesh into the
+            # advertised portable single-device artifact. Export an
+            # unsharded clone with host-gathered weights instead.
             model = model.clone(tp_mesh=None)
             variables = jax.device_get(variables)
         bands = dl.get("bands")

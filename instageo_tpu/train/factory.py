@@ -50,6 +50,10 @@ def build_model(cfg: Any) -> PrithviSeg:
         if val not in allowed:
             raise ValueError(
                 f"tpu.{knob}={val!r} — expected one of {allowed}")
+    head_impl = str(cfg.model.get("head_impl", "torch"))
+    if head_impl not in ("torch", "fast"):
+        raise ValueError(
+            f"model.head_impl={head_impl!r} — expected torch | fast")
     # tpu.pp>1 needs the stacked layout; the mesh itself is attached by the
     # Trainer (clone(pp_mesh=...)) — init stays meshless via the scan
     # degradation (models/prithvi.py).
@@ -76,6 +80,7 @@ def build_model(cfg: Any) -> PrithviSeg:
         remat=bool((cfg.get("tpu") or {}).get("remat", False)),
         gelu=str((cfg.get("tpu") or {}).get("gelu", "exact")),
         dropout_impl=str((cfg.get("tpu") or {}).get("dropout_impl", "xla")),
+        head_impl=head_impl,
         block_layout=block_layout,
         pp_microbatches=int(tpu_cfg.get("pp_microbatches", 4)),
         sp=use_sp,

@@ -183,6 +183,87 @@ def test_tl_variant_has_scale_params():
     assert not np.allclose(np.asarray(base), np.asarray(withc))
 
 
+def test_temporal_location_encoders_match_torch():
+    """TL encoder NUMERICAL parity (round-4, VERDICT #3): the jax
+    Temporal/LocationEncoder activations equal the reference math
+    (pritvhi.py:273-367) ported to torch, with a non-trivial learned
+    scale so the scale wiring is exercised, not just existence."""
+    from tests.model_tests.torch_ref import (location_encoder_forward,
+                                             temporal_encoder_forward)
+    from instageo_tpu.models.prithvi import LocationEncoder, TemporalEncoder
+
+    d = 256
+    sd = {"temporal_embed_enc.scale": np.asarray([0.37], np.float32),
+          "location_embed_enc.scale": np.asarray([-0.21], np.float32)}
+    tc = np.asarray([[[2020.0, 120.0], [2021.0, 241.0], [2023.0, 15.0]],
+                     [[2013.0, 1.0], [2019.0, 365.0], [2024.0, 366.0]]],
+                    np.float32)
+    lc = np.asarray([[10.5, 20.25], [-33.9, 151.2]], np.float32)
+
+    tenc = TemporalEncoder(d, trainable_scale=True)
+    tvars = tenc.init(jax.random.PRNGKey(0), jnp.asarray(tc))
+    tvars = {"params": {"scale": jnp.asarray(sd["temporal_embed_enc.scale"])}}
+    ours_t = np.asarray(tenc.apply(tvars, jnp.asarray(tc),
+                                   tokens_per_frame=4))
+    ref_t = temporal_encoder_forward(torch.from_numpy(tc), sd, d,
+                                     tokens_per_frame=4).numpy()
+    assert ours_t.shape == ref_t.shape == (2, 12, d)
+    np.testing.assert_allclose(ours_t, ref_t, atol=2e-5, rtol=1e-5)
+
+    lenc = LocationEncoder(d, trainable_scale=True)
+    lvars = {"params": {"scale": jnp.asarray(sd["location_embed_enc.scale"])}}
+    ours_l = np.asarray(lenc.apply(lvars, jnp.asarray(lc)))
+    ref_l = location_encoder_forward(torch.from_numpy(lc), sd, d).numpy()
+    assert ours_l.shape == ref_l.shape == (2, 1, d)
+    np.testing.assert_allclose(ours_l, ref_l, atol=2e-5, rtol=1e-5)
+
+
+def test_tl_forward_matches_torch_end_to_end():
+    """Full encoder forward WITH coords vs the torch replica sharing the
+    same weights: validates the TL embeddings' integration points
+    (pre-cls addition, per-frame repeat, broadcast over tokens)."""
+    from instageo_tpu.models.checkpoint import vit_params_from_torch
+    from instageo_tpu.models.registry import PRETRAINED_BANDS, get_arch
+    from tests.model_tests.torch_ref import make_vit_state_dict, vit_forward
+
+    arch = get_arch("prithvi_eo_tiny", in_chans=6, num_frames=2, img_size=32,
+                    coords_encoding=("time", "location"),
+                    coords_scale_learn=True)
+    rng = np.random.default_rng(9)
+    sd = make_vit_state_dict(rng, patch_size=tuple(arch.patch_size),
+                             in_chans=6, embed_dim=arch.embed_dim,
+                             depth=arch.depth, tl=True)
+    params = vit_params_from_torch(sd, arch, PRETRAINED_BANDS,
+                                   list(PRETRAINED_BANDS))
+    assert np.allclose(np.asarray(params["temporal_embed_enc"]["scale"]),
+                       [0.37])
+
+    model = PrithviViT(
+        img_size=32, patch_size=tuple(arch.patch_size), num_frames=2,
+        in_chans=6, embed_dim=arch.embed_dim, depth=arch.depth,
+        num_heads=arch.num_heads, coords_encoding=("time", "location"),
+        coords_scale_learn=True,
+    )
+    x = rng.normal(size=(2, 6, 2, 32, 32)).astype(np.float32)
+    tc = np.asarray([[[2020.0, 120.0], [2020.0, 136.0]],
+                     [[2021.0, 5.0], [2021.0, 21.0]]], np.float32)
+    lc = np.asarray([[10.0, 20.0], [-35.0, 150.0]], np.float32)
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(x),
+        temporal_coords=jnp.asarray(tc), location_coords=jnp.asarray(lc)))
+    ref = vit_forward(
+        torch.from_numpy(x), sd, patch_size=tuple(arch.patch_size),
+        embed_dim=arch.embed_dim, depth=arch.depth,
+        num_heads=arch.num_heads,
+        temporal_coords=torch.from_numpy(tc),
+        location_coords=torch.from_numpy(lc)).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
+    # The TL terms must actually matter: without coords the outputs differ.
+    base = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert not np.allclose(base, ref, atol=5e-4)
+
+
 def test_gelu_variants_close_to_exact():
     """tpu.gelu serving knobs (tanh/bf16) stay within activation-level
     tolerance of the exact-erf default on realistic magnitudes."""

@@ -36,8 +36,54 @@ def block_forward(x, sd, prefix, num_heads):
     return x + h
 
 
-def vit_forward(x, sd, *, patch_size, embed_dim, depth, num_heads):
-    """x: torch (B, C, T, H, W) -> tokens (B, 1+L, D)."""
+def sincos_1d_torch(embed_dim, pos):
+    """Reference ``get_1d_sincos_embed_from_grid_torch`` (pritvhi.py:40-65)."""
+    omega = torch.arange(embed_dim // 2, dtype=pos.dtype)
+    omega = omega / (embed_dim / 2.0)
+    omega = 1.0 / 10000**omega
+    out = torch.einsum("m,d->md", pos.reshape(-1), omega)
+    return torch.cat([torch.sin(out), torch.cos(out)], dim=1)
+
+
+def temporal_encoder_forward(temporal_coords, sd, embed_dim,
+                             tokens_per_frame=None,
+                             prefix="temporal_embed_enc"):
+    """Reference ``TemporalEncoder.forward`` (pritvhi.py:273-322):
+    year/julian-day sincos halves, scaled, repeated per frame."""
+    year_dim = embed_dim // 2
+    jday_dim = embed_dim - year_dim
+    shape = temporal_coords.shape[:2] + (-1,)
+    year = sincos_1d_torch(
+        year_dim, temporal_coords[:, :, 0].flatten()).reshape(shape)
+    jday = sincos_1d_torch(
+        jday_dim, temporal_coords[:, :, 1].flatten()).reshape(shape)
+    emb = _t(sd, f"{prefix}.scale") * torch.cat([year, jday], dim=-1)
+    if tokens_per_frame is not None:
+        emb = torch.repeat_interleave(emb, tokens_per_frame, dim=1)
+    return emb
+
+
+def location_encoder_forward(location_coords, sd, embed_dim,
+                             prefix="location_embed_enc"):
+    """Reference ``LocationEncoder.forward`` (pritvhi.py:325-367)."""
+    lat_dim = embed_dim // 2
+    lon_dim = embed_dim - lat_dim
+    shape = location_coords.shape[:1] + (1, -1)
+    lat = sincos_1d_torch(
+        lat_dim, location_coords[:, 0].flatten()).reshape(shape)
+    lon = sincos_1d_torch(
+        lon_dim, location_coords[:, 1].flatten()).reshape(shape)
+    return _t(sd, f"{prefix}.scale") * torch.cat([lat, lon], dim=-1)
+
+
+def vit_forward(x, sd, *, patch_size, embed_dim, depth, num_heads,
+                temporal_coords=None, location_coords=None):
+    """x: torch (B, C, T, H, W) -> tokens (B, 1+L, D).
+
+    ``temporal_coords``/``location_coords`` apply the TL embeddings the
+    way the framework's PrithviViT does when coords are passed (the
+    reference constructs the encoders but its forward never applies them
+    — pritvhi.py:498-530)."""
     tokens = F.conv3d(
         x, _t(sd, "patch_embed.proj.weight"), _t(sd, "patch_embed.proj.bias"),
         stride=patch_size,
@@ -46,6 +92,13 @@ def vit_forward(x, sd, *, patch_size, embed_dim, depth, num_heads):
     tokens = tokens.flatten(2).transpose(1, 2)
     pos = torch.from_numpy(get_3d_sincos_pos_embed(embed_dim, grid, cls_token=True))
     tokens = tokens + pos[1:]
+    if temporal_coords is not None:
+        tpf = tokens.shape[1] // temporal_coords.shape[1]
+        tokens = tokens + temporal_encoder_forward(
+            temporal_coords, sd, embed_dim, tpf)
+    if location_coords is not None:
+        tokens = tokens + location_encoder_forward(
+            location_coords, sd, embed_dim)
     cls = (_t(sd, "cls_token") + pos[:1]).expand(x.shape[0], 1, embed_dim)
     tokens = torch.cat([cls, tokens], dim=1)
     for i in range(depth):
@@ -78,8 +131,14 @@ def seg_forward(x, sd, *, patch_size, embed_dim, depth, num_heads, num_frames,
                     _t(sd, "segmentation_head.5.bias"))
 
 
-def make_vit_state_dict(rng, *, patch_size, in_chans, embed_dim, depth, mlp_ratio=4.0):
-    """Random state dict with real Prithvi encoder key names/shapes."""
+def make_vit_state_dict(rng, *, patch_size, in_chans, embed_dim, depth,
+                        mlp_ratio=4.0, tl=False):
+    """Random state dict with real Prithvi encoder key names/shapes.
+
+    ``tl=True`` adds the ``_tl``-variant keys (the trainable
+    ``temporal_embed_enc.scale`` / ``location_embed_enc.scale`` — the only
+    TL encoder parameters, pritvhi.py:289-293/341-345) with non-trivial
+    values so a mapping bug shows up numerically."""
     pt, ph, pw = patch_size
     hidden = int(embed_dim * mlp_ratio)
 
@@ -93,6 +152,9 @@ def make_vit_state_dict(rng, *, patch_size, in_chans, embed_dim, depth, mlp_rati
         "norm.weight": 1.0 + r(embed_dim),
         "norm.bias": r(embed_dim),
     }
+    if tl:
+        sd["temporal_embed_enc.scale"] = np.asarray([0.37], np.float32)
+        sd["location_embed_enc.scale"] = np.asarray([-0.21], np.float32)
     for i in range(depth):
         sd.update({
             f"blocks.{i}.norm1.weight": 1.0 + r(embed_dim),

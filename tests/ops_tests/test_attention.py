@@ -39,6 +39,54 @@ def test_flash_attention_bf16():
     assert out.dtype == jnp.bfloat16
 
 
+@pytest.mark.parametrize("b,l,h,d", [
+    (2, 197, 12, 64),  # Prithvi-100 shape (group 6 over heads)
+    (1, 589, 16, 64),  # T=3 300M shape (group 4)
+    (1, 128, 2, 80),   # p14 head dim
+])
+def test_flash_attention_blo_matches_reference(b, l, h, d):
+    """Merged-output kernel: (B,H,L,D) in -> (B,L,H*D) out equals the
+    reference path's transpose+reshape merge exactly."""
+    from instageo_tpu.ops.attention import flash_attention_blo
+
+    rng = np.random.default_rng(7)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    # reference consumes (B, L, H, D)
+    ref = attention_reference(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
+    ref = np.asarray(ref).reshape(b, l, h * d)
+    out = flash_attention_blo(q, k, v, interpret=True)
+    assert out.shape == (b, l, h * d)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_blo_backward_matches_reference():
+    """Backward of the merged-output layout: dq/dk/dv (heads-first)
+    match the XLA einsum path's grads."""
+    from instageo_tpu.ops.attention import flash_attention_blo
+
+    rng = np.random.default_rng(8)
+    b, l, h, d = 2, 37, 4, 16  # unpadded odd length exercises masking
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    w = jnp.asarray(rng.standard_normal((h * d,)).astype(np.float32))
+
+    def loss_blo(q, k, v):
+        # weighted sum exercises a non-uniform cotangent in merged layout
+        return (flash_attention_blo(q, k, v, True) * w).sum()
+
+    def loss_ref(q, k, v):
+        out = attention_reference(*(t.transpose(0, 2, 1, 3)
+                                    for t in (q, k, v)))
+        return (out.reshape(b, l, h * d) * w).sum()
+
+    g_blo = jax.grad(loss_blo, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_blo, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
 def test_block_attention_via_model_flag():
     """Attention impl flag reaches the Block module."""
     from instageo_tpu.models.prithvi import Block
