@@ -109,6 +109,14 @@ def main(argv: Optional[List[str]] = None) -> Any:
         print(json.dumps({"mean": mean, "std": std, "class_weights": class_weights}))
         return {"mean": mean, "std": std, "class_weights": class_weights}
 
+    if mode == "replica":
+        # One-command replication runbook: stats → train → eval(val+test)
+        # → BASELINE-format report (train/replica.py). Each stage
+        # re-enters this main() through the persisted .hydra config.
+        from instageo_tpu.train.replica import run_replica
+
+        return run_replica(cfg)
+
     from instageo_tpu.parallel.mesh import mesh_from_config
     from instageo_tpu.train.factory import create_model
     from instageo_tpu.train.trainer import Trainer
