@@ -161,6 +161,92 @@ def bench_native_decode(quick: bool) -> None:
          "chips/sec (6-band 224^2 deflate)")
 
 
+def bench_host_ingest(quick: bool) -> None:
+    """End-to-end host ingestion: files → decoded chips → augmented,
+    normalized, collated training batches (VERDICT r3 #8).
+
+    This is the REAL trained-from-files input path — the same
+    InstaGeoDataset → process_and_augment → threaded prefetch loader
+    that mode=train builds (run.py) — timed over a full pass on disk
+    chips, so it includes GeoTIFF decode (native C++ when built), band
+    rules, augmentation, normalization, and batch collation. The emitted
+    extras put the number against the two device cadences that matter:
+
+    * training: the measured v5e-1 train step consumes 599.9 chips/s at
+      b=128/k=8 (PERF.md round 4) — `cores_to_saturate_train` is how
+      many of THESE host cores keep one chip fed;
+    * serving: the 5k chips/s BASELINE.json target (v5e-8)
+      → `cores_to_saturate_serve`.
+
+    Host-only by design: the chip→HBM transfer is measured separately
+    (bench.py feeds device-resident batches; on this relay-attached box
+    transfer is link-bound and would only measure the tunnel,
+    CLAUDE.md). Linear core scaling is assumed when extrapolating —
+    decode/augment are embarrassingly parallel across chips.
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.data.dataloader import create_dataloader
+    from instageo_tpu.train.run import _make_dataset, _train_preprocess
+
+    TRAIN_CADENCE = 599.9   # chips/s, v5e-1 b=128 k=8 (PERF.md round 4)
+    SERVE_TARGET = 5000.0   # chips/s, BASELINE.json v5e-8 target
+
+    n = 64 if quick else 256
+    root = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(n):
+            arr = rng.integers(1, 10000, size=(6, 224, 224)).astype(np.uint16)
+            lab = rng.integers(0, 2, size=(1, 224, 224)).astype(np.int16)
+            from instageo_tpu.data.geotiff import write_geotiff
+
+            write_geotiff(os.path.join(root, f"chip_{i}.tif"), arr,
+                          compress="deflate", nodata=0)
+            write_geotiff(os.path.join(root, f"seg_{i}.tif"), lab,
+                          compress="deflate", nodata=-1)
+            rows.append({"Input": f"chip_{i}.tif", "Label": f"seg_{i}.tif"})
+        csv = os.path.join(root, "train.csv")
+        pd.DataFrame(rows).to_csv(csv, index=False)
+
+        cfg = load_config("config", overrides={
+            "root_dir": root,
+            "dataloader.img_size": 224,
+            "dataloader.bands": [0, 1, 2, 3, 4, 5],
+            "dataloader.mean": [5000.0] * 6, "dataloader.std": [3000.0] * 6,
+            "dataloader.no_data_value": 0,
+            "train.ignore_index": -1,
+        })
+        ds = _make_dataset(csv, cfg, _train_preprocess(cfg))
+        loader = create_dataloader(ds, batch_size=32, shuffle=True,
+                                   num_workers=1)
+
+        def one_pass() -> int:
+            seen = 0
+            for x, _y in loader:
+                seen += int(np.asarray(x).shape[0])
+            return seen
+
+        one_pass()  # warm: decoder dylib load, cv2 init, page cache
+        t0 = time.perf_counter()
+        seen = one_pass()
+        v = seen / (time.perf_counter() - t0)
+        ncores = os.cpu_count() or 1
+        emit("host_ingest_throughput", v,
+             "chips/sec (files->decode->augment->collate, train path)",
+             per_core=round(v / max(1, ncores), 2) if ncores > 1 else round(v, 2),
+             cores_to_saturate_train=round(TRAIN_CADENCE / v, 2),
+             cores_to_saturate_serve=round(SERVE_TARGET / v, 2),
+             host_cores=ncores, n_chips=seen)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_granule(quick: bool) -> None:
     """Granule-scale streaming inference: whole tile -> stitched pred.
 
@@ -210,6 +296,7 @@ def bench_granule(quick: bool) -> None:
 def main() -> None:
     quick = "--quick" in sys.argv
     bench_native_decode(quick)
+    bench_host_ingest(quick)
     bench_chip_ops(quick)
     bench_attention(quick)
     bench_train_step(quick)
