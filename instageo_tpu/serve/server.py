@@ -127,10 +127,9 @@ class ModelServer:
             # unsharded clone with host-gathered weights instead.
             model = model.clone(tp_mesh=None)
             variables = jax.device_get(variables)
-        bands = dl.get("bands")
         return export_predict(
             model, variables, path,
-            num_bands=len(list(bands)) if bands else int(model.in_chans),
+            num_bands=int(model.in_chans),
             img_size=int(dl.get("img_size", 224)),
             temporal_dim=int(dl.get("temporal_dim", 1)),
             is_reg_task=bool(self.cfg.get("is_reg_task", False)),

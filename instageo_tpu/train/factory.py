@@ -33,9 +33,34 @@ def _dtype_from_cfg(cfg: Any) -> jnp.dtype:
     return jnp.bfloat16 if str(prec) == "bf16" else jnp.float32
 
 
+def model_channels(cfg: Any) -> int:
+    """Per-frame model input channels implied by the dataloader config.
+
+    Chip FILES stack frames channelwise ((T·C, H, W) — data/stac.py),
+    and ``dataloader.bands`` indexes that stacked axis: the shipped
+    multi-temporal configs list T·C entries (e.g. 18 for the T=3 crop
+    task) while the dataloader reshapes every chip to C = len(bands)/T
+    channels per frame (dataloader.py normalize_and_reshape). The
+    reference sidesteps this by hardcoding 6 model channels regardless
+    of the band list (model.py:301 ``model_bands`` default); here the
+    per-frame count is derived: when bands spans exactly T frames of
+    ``len(mean)`` channels it is ``len(mean)``, otherwise bands IS the
+    per-frame list (in-memory datasets pass (B, C, T, H, W) directly
+    with ``bands=range(C)``, e.g. benchmarks/convergence_parity_tasks).
+    """
+    dl = cfg.dataloader
+    bands = dl.get("bands")
+    mean = dl.get("mean")
+    c = len(list(bands)) if bands else len(list(mean or [0] * 6))
+    t = int(dl.get("temporal_dim", 1))
+    if t > 1 and mean and c == t * len(list(mean)):
+        return len(list(mean))
+    return c
+
+
 def build_model(cfg: Any) -> PrithviSeg:
     """Construct the PrithviSeg module from a run config."""
-    num_bands = len(cfg.dataloader.get("bands") or [0] * 6)
+    num_bands = model_channels(cfg)
     num_classes = 1 if cfg.get("is_reg_task", False) else int(cfg.model.num_classes)
     tpu_cfg = cfg.get("tpu") or {}
     # Validate enum-like knobs up front: Mlp's gelu dispatch (and the
@@ -91,7 +116,7 @@ def init_variables(model: PrithviSeg, cfg: Any, seed: int = 0) -> Dict:
     """Initialize model variables (abstract-eval friendly shapes)."""
     t = int(cfg.dataloader.get("temporal_dim", 1))
     s = int(cfg.dataloader.get("img_size", 224))
-    c = len(cfg.dataloader.get("bands") or [0] * 6)
+    c = int(model.in_chans)  # per-frame channels (model_channels())
     x = jnp.zeros((1, c, t, s, s), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), x)
 
@@ -121,7 +146,7 @@ def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
         if pre_path and os.path.exists(pre_path):
             arch = get_arch(
                 str(cfg.model.model_name),
-                in_chans=len(cfg.dataloader.get("bands") or [0] * 6),
+                in_chans=model_channels(cfg),
                 num_frames=int(cfg.dataloader.get("temporal_dim", 1)),
                 img_size=int(cfg.dataloader.get("img_size", 224)),
                 depth=int(cfg.model.get("depth", -1)),
@@ -133,7 +158,7 @@ def create_model(cfg: Any, seed: int = 0) -> Tuple[PrithviSeg, Dict]:
             # patch-embed kernel and fail at the first forward.
             from instageo_tpu.models.checkpoint import PRETRAINED_BANDS
 
-            n_bands = len(cfg.dataloader.get("bands") or [0] * 6)
+            n_bands = model_channels(cfg)
             reps = -(-n_bands // len(PRETRAINED_BANDS))
             model_bands = (list(PRETRAINED_BANDS) * reps)[:n_bands]
             enc = load_pretrained_encoder(pre_path, arch,
@@ -200,7 +225,7 @@ def load_finetuned(path: str, model: PrithviSeg, cfg: Any,
     sd = load_torch_file(path)
     arch = get_arch(
         str(cfg.model.model_name),
-        in_chans=len(cfg.dataloader.get("bands") or [0] * 6),
+        in_chans=model_channels(cfg),
         num_frames=int(cfg.dataloader.get("temporal_dim", 1)),
         img_size=int(cfg.dataloader.get("img_size", 224)),
         depth=int(cfg.model.get("depth", -1)),

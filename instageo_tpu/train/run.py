@@ -187,7 +187,7 @@ def main(argv: Optional[List[str]] = None) -> Any:
         try:
             import jax.numpy as jnp
 
-            c = int(len(cfg.dataloader.get("bands") or [0] * 6))
+            c = int(model.in_chans)  # per-frame channels
             t = int(cfg.dataloader.get("temporal_dim", 1))
             s = int(cfg.dataloader.get("img_size", 224))
             x = jnp.zeros((1, c, t, s, s), jnp.float32)
@@ -325,10 +325,9 @@ def main(argv: Optional[List[str]] = None) -> Any:
                        os.path.join(cfg.root_dir, "predict.stablehlo"))
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         bs = exp.get("batch_size")
-        bands = cfg.dataloader.get("bands")
         export_predict(
             model, variables, out_path,
-            num_bands=len(list(bands)) if bands else int(model.in_chans),
+            num_bands=int(model.in_chans),
             img_size=int(cfg.dataloader.get("img_size", 224)),
             temporal_dim=int(cfg.dataloader.get("temporal_dim", 1)),
             is_reg_task=bool(cfg.get("is_reg_task", False)),

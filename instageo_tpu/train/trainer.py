@@ -115,7 +115,7 @@ class Trainer:
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
         spc = tpu_cfg.get("steps_per_call", 1)
-        self._sample_bytes = (len(cfg.dataloader.get("bands") or [0] * 6)
+        self._sample_bytes = (int(getattr(model, "in_chans", 6))
                               * int(cfg.dataloader.get("temporal_dim", 1))
                               * int(cfg.dataloader.get("img_size", 224)) ** 2
                               * (2 if self._transfer_bf16 else 4))
