@@ -14,7 +14,9 @@ device count divided by that target.
 Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH,
 BENCH_STEPS_PER_CALL (train steps chained per jitted call), BENCH_MODE
 (``all``|``infer``|``train``), BENCH_MODEL (registry variant, default
-prithvi_eo_v1_100), BENCH_REMAT=1 (per-block remat), BENCH_GRAD_ACCUM
+prithvi_eo_v1_100), BENCH_HEAD (``fast`` default — the recommended
+production head; ``torch`` probes the checkpoint-layout-parity head),
+BENCH_REMAT=1 (per-block remat), BENCH_GRAD_ACCUM
 (micro-batch accumulation inside the step), BENCH_DROPOUT_IMPL
 (xla|bits16|bits8|pallas), BENCH_RNG_IMPL, BENCH_GELU.
 """
@@ -113,9 +115,12 @@ def bench_inference(platform: str) -> dict:
         # BENCH_GELU=tanh|bf16 probes the serving-side tpu.gelu knob.
         attn_impl=os.environ.get("BENCH_ATTN", "auto"),
         gelu=os.environ.get("BENCH_GELU", "exact"),
-        # BENCH_HEAD=fast probes the lane-filling decoder head
-        # (model.head_impl; models/seg.py).
-        head_impl=os.environ.get("BENCH_HEAD", "torch"),
+        # Decoder head: the lane-filling `fast` head is the recommended
+        # production config since round 4 (+7.6% infer / +11% train,
+        # convergence-parity-validated — PERF.md "Fast segmentation
+        # head"); BENCH_HEAD=torch probes the checkpoint-layout-parity
+        # head the task configs still default to.
+        head_impl=os.environ.get("BENCH_HEAD", "fast"),
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32))
@@ -181,7 +186,7 @@ def bench_train(platform: str) -> dict:
         "train.grad_accum": int(os.environ.get("BENCH_GRAD_ACCUM", "1")),
         "tpu.dropout_impl": os.environ.get("BENCH_DROPOUT_IMPL", "xla"),
         "tpu.attn_impl": os.environ.get("BENCH_ATTN", "auto"),
-        "model.head_impl": os.environ.get("BENCH_HEAD", "torch"),
+        "model.head_impl": os.environ.get("BENCH_HEAD", "fast"),
         "model.load_pretrained_weights": False,
         "train.batch_size": batch,
         "train.ignore_index": -1,
@@ -288,6 +293,7 @@ def main() -> None:
                                 round(inf["step_ms_max"], 1)],
         "infer_gflops_per_chip": round(inf["flops_per_chip"] / 1e9, 2),
         "mfu": round(inf["flops_per_sec"] / peak, 4) if peak else None,
+        "head_impl": os.environ.get("BENCH_HEAD", "fast"),
         "device_kind": getattr(devices[0], "device_kind", platform),
     }
     if mode == "all":
