@@ -280,6 +280,20 @@ def _export_torch_init(x, seed):
     return seg_variables_to_torch(init_vars, arch, prefix=""), arch
 
 
+def post_warmup_envelope(jax_curve, torch_curve, warmup_steps):
+    """Max |metric delta| over aligned checkpoints past the warm-up horizon.
+
+    Shared by both parity harnesses (this file and
+    convergence_parity_tasks.py) so the assertion protocol can only be
+    tightened in one place. Falls back to the final-step delta when no
+    aligned post-warm-up checkpoint exists.
+    """
+    post = [abs(mj - mt)
+            for (sj, mj), (st, mt) in zip(jax_curve, torch_curve)
+            if sj == st and sj > warmup_steps]
+    return max(post) if post else abs(jax_curve[-1][1] - torch_curve[-1][1])
+
+
 def main(steps=600, batch=8, eval_every=100, lr=1e-3, tolerance=0.06,
          min_miou=0.80, seeds=1, warmup_frac=0.5, head_impl="torch"):
     """Parity protocol (round-4 tightening, VERDICT r3 #6):
@@ -315,11 +329,7 @@ def main(steps=600, batch=8, eval_every=100, lr=1e-3, tolerance=0.06,
 
         jax_final = jax_curve[-1][1]
         torch_final = torch_curve[-1][1]
-        post = [(sj, abs(mj - mt))
-                for (sj, mj), (st, mt) in zip(jax_curve, torch_curve)
-                if sj == st and sj > warmup_steps]
-        seed_env = max(d for _, d in post) if post else abs(
-            jax_final - torch_final)
+        seed_env = post_warmup_envelope(jax_curve, torch_curve, warmup_steps)
         envelope = max(envelope, seed_env)
         per_seed.append({
             "seed": seed,

@@ -38,7 +38,11 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-from convergence_parity import miou_from_preds, seg_forward_train
+from convergence_parity import (
+    miou_from_preds,
+    post_warmup_envelope,
+    seg_forward_train,
+)
 
 NUM_CROP_CLASSES = 13
 
@@ -328,9 +332,7 @@ def main(task, steps, batch=8, eval_every=None, lr=1e-3,
     # 13-class run's step-160 0.083 excursion vs tol 0.08 recorded in
     # PARITY.md §2b is exactly what final-only asserting hides).
     warmup_steps = steps * 0.5
-    post = [(sj, abs(mj - mt)) for (sj, mj), (st, mt) in zip(jc, tc)
-            if sj == st and sj > warmup_steps]
-    post_env = max(d for _, d in post) if post else abs(jf - tf)
+    post_env = post_warmup_envelope(jc, tc, warmup_steps)
     report = {"task": task, "steps": steps, "metric": metric,
               "jax_curve": jc, "torch_curve": tc,
               "jax_final": jf, "torch_final": tf,

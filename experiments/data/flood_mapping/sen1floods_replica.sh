@@ -7,27 +7,28 @@
 set -euo pipefail
 
 GCS_BUCKET=${GCS_BUCKET:-}
+DATA_DIR=${DATA_DIR:-data}
 if [ -z "$GCS_BUCKET" ]; then
     echo "GCS_BUCKET is not set"
     exit 1
 fi
 
-mkdir -p data
-gsutil cp -r gs://instageo/data/observation_records/sen1floods/records/* data
+mkdir -p "$DATA_DIR"
+gsutil cp -r gs://instageo/data/observation_records/sen1floods/records/* "$DATA_DIR"
 
 for split in val train test; do
     python -m instageo_tpu.data.raster_chip_creator \
-        --raster_path data/sen1floods11/LabelHand \
-        --records_file "data/sen1floods-${split}-records.csv" \
+        --raster_path "$DATA_DIR/sen1floods11/LabelHand" \
+        --records_file "$DATA_DIR/sen1floods-${split}-records.csv" \
         --chip_size=512 \
         --temporal_step=0 \
         --num_steps=1 \
         --temporal_tolerance=2 \
         --cloud_coverage=100 \
-        --output_directory "data/${split}" \
+        --output_directory "$DATA_DIR/${split}" \
         --data_source=S2 \
         --src_crs=4326 --spatial_resolution=8.983152841195215e-05 \
-        --daytime_only=false --qa_check=false 2>&1 | tee "data/${split}.log"
+        --daytime_only=false --qa_check=false 2>&1 | tee "$DATA_DIR/${split}.log"
 done
 
-gsutil -m cp -r data "${GCS_BUCKET}/data/sen1floods_replica"
+gsutil -m cp -r "$DATA_DIR" "${GCS_BUCKET}/data/sen1floods_replica"

@@ -34,10 +34,18 @@ if [ ! -f "$DATA_DIR/train.csv" ] || [ ! -f "$DATA_DIR/val.csv" ] || [ ! -f "$DA
         exit 3
     }
     GCS_BUCKET=${GCS_BUCKET:?export GCS_BUCKET=gs://<your-bucket> for the data stage} \
+        DATA_DIR="$DATA_DIR" \
         bash experiments/data/flood_mapping/sen1floods_replica.sh
+    # Promote each split's pipeline manifest ({split}/s2_raster_dataset.csv,
+    # data/pipeline.py run()) to the {split}.csv name the train stage reads.
+    for split in train val test; do
+        [ -f "$DATA_DIR/$split.csv" ] ||
+            cp "$DATA_DIR/$split/s2_raster_dataset.csv" "$DATA_DIR/$split.csv"
+    done
 fi
 
 # ---- Stages 3-6: stats → train → eval(val,test) → report, one command.
-bash experiments/train/flood_mapping/sen1floods_replica.sh
+DATA_DIR="$DATA_DIR" EXP_DIR="$EXP_DIR" \
+    bash experiments/train/flood_mapping/sen1floods_replica.sh
 
 echo "Done. Paste-ready table: $EXP_DIR/REPORT.md"

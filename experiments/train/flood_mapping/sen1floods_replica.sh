@@ -9,6 +9,7 @@
 set -euo pipefail
 MODEL=${MODEL:-prithvi_eo_v1_100}
 EXP_DIR=${EXP_DIR:-instageo_exp}
+DATA_DIR=${DATA_DIR:-data}
 
 mkdir -p "$EXP_DIR"
 python -m instageo_tpu.train.run --config-name=sen1floods11 \
@@ -23,9 +24,9 @@ python -m instageo_tpu.train.run --config-name=sen1floods11 \
     train.batch_size=16 \
     train.num_epochs=100 \
     model.model_name="$MODEL" \
-    train_filepath='data/train.csv' \
-    valid_filepath='data/val.csv' \
-    test_filepath='data/test.csv' 2>&1 | tee "$EXP_DIR/replica.log"
+    train_filepath="$DATA_DIR/train.csv" \
+    valid_filepath="$DATA_DIR/val.csv" \
+    test_filepath="$DATA_DIR/test.csv" 2>&1 | tee "$EXP_DIR/replica.log"
 
 echo "Report: $EXP_DIR/REPORT.md"
 cat "$EXP_DIR/REPORT.md"

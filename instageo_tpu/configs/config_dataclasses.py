@@ -70,6 +70,11 @@ class ModelConfig:
     include_ee_metric: bool = False
     weight_clip_range: Optional[List[float]] = None
     depth: int = -1
+    # Explicit per-frame input channels. Normally derived from the
+    # dataloader config (train/factory.py model_channels); set this when
+    # the derivation is ambiguous — e.g. an in-memory (B, C, T, H, W)
+    # dataset whose per-frame C happens to equal temporal_dim*len(mean).
+    num_channels: Optional[int] = None
 
 
 @dataclass

@@ -47,7 +47,13 @@ def model_channels(cfg: Any) -> int:
     ``len(mean)`` channels it is ``len(mean)``, otherwise bands IS the
     per-frame list (in-memory datasets pass (B, C, T, H, W) directly
     with ``bands=range(C)``, e.g. benchmarks/convergence_parity_tasks).
+    The derivation is ambiguous when an in-memory per-frame band list
+    happens to satisfy ``len(bands) == temporal_dim * len(mean)`` —
+    set ``model.num_channels`` explicitly to override it.
     """
+    explicit = (cfg.get("model") or {}).get("num_channels")
+    if explicit:
+        return int(explicit)
     dl = cfg.dataloader
     bands = dl.get("bands")
     mean = dl.get("mean")

@@ -201,7 +201,6 @@ def test_temporal_location_encoders_match_torch():
     lc = np.asarray([[10.5, 20.25], [-33.9, 151.2]], np.float32)
 
     tenc = TemporalEncoder(d, trainable_scale=True)
-    tvars = tenc.init(jax.random.PRNGKey(0), jnp.asarray(tc))
     tvars = {"params": {"scale": jnp.asarray(sd["temporal_embed_enc.scale"])}}
     ours_t = np.asarray(tenc.apply(tvars, jnp.asarray(tc),
                                    tokens_per_frame=4))
