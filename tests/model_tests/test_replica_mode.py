@@ -129,3 +129,12 @@ def test_runbook_scripts_are_sound():
     rb = open(runbook).read()
     assert "PRITHVI_PRETRAINED_PATH" in rb  # the weights gate
     assert "sen1floods_replica.sh" in rb    # chains data + train stages
+    # The data stage writes {split}/s2_raster_dataset.csv manifests
+    # (data/pipeline.py run()); the runbook must promote them to the
+    # {split}.csv names the train stage reads, and thread DATA_DIR into
+    # both sub-stages (not just the gate).
+    assert "s2_raster_dataset.csv" in rb
+    for sub in ("experiments/data/flood_mapping/sen1floods_replica.sh",
+                "experiments/train/flood_mapping/sen1floods_replica.sh"):
+        text = open(os.path.join(repo, sub)).read()
+        assert "DATA_DIR" in text, sub
