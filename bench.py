@@ -18,7 +18,8 @@ prithvi_eo_v1_100), BENCH_HEAD (``fast`` default — the recommended
 production head; ``torch`` probes the checkpoint-layout-parity head),
 BENCH_REMAT=1 (per-block remat), BENCH_GRAD_ACCUM
 (micro-batch accumulation inside the step), BENCH_DROPOUT_IMPL
-(xla|bits16|bits8|pallas), BENCH_RNG_IMPL, BENCH_GELU.
+(xla|bits16|bits8|pallas), BENCH_RNG_IMPL, BENCH_GELU,
+BENCH_QUANT=int8 (dynamic W8A8 serving path, infer mode only).
 """
 
 import json
@@ -121,6 +122,10 @@ def bench_inference(platform: str) -> dict:
         # head"); BENCH_HEAD=torch probes the checkpoint-layout-parity
         # head the task configs still default to.
         head_impl=os.environ.get("BENCH_HEAD", "fast"),
+        # BENCH_QUANT=int8 probes the dynamic W8A8 serving path
+        # (tpu.quant, ops/quant.py) — inference-only, so only this
+        # bench path exposes it.
+        quant=os.environ.get("BENCH_QUANT", "none"),
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32))
@@ -296,6 +301,11 @@ def main() -> None:
         "head_impl": os.environ.get("BENCH_HEAD", "fast"),
         "device_kind": getattr(devices[0], "device_kind", platform),
     }
+    if os.environ.get("BENCH_QUANT", "none") != "none":
+        # MFU here stays normalized to the bf16 peak — int8 runs the MXU
+        # at 2x that rate, so >50% would mean the int8 units are busy
+        # more than half the time.
+        out["quant"] = os.environ["BENCH_QUANT"]
     if mode == "all":
         tr = bench_train(platform)
         out.update({

@@ -295,6 +295,9 @@ class QKVProj(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    # "int8": dynamic W8A8 projection (ops/quant.py) — inference-only
+    # serving knob (tpu.quant); params unchanged.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, heads_first: bool = False
@@ -320,6 +323,25 @@ class QKVProj(nn.Module):
         # ``heads_first`` emits (B, H, L, Dh) instead — the flash kernel's
         # layout — for free (it is just the einsum's output layout; same
         # params, same math).
+        if self.quant == "int8":
+            # Dynamic W8A8 per slice (ops/quant.py): the (D, H·Dh) slice
+            # quantizes per output column; output layout matches the
+            # bf16 path. heads_first is pallas-only and pallas is
+            # disabled under quant (Attention.use_pallas), so only the
+            # (B, L, H, Dh) layout is emitted here.
+            from instageo_tpu.ops.quant import int8_matmul
+
+            if heads_first:
+                raise NotImplementedError(
+                    "quant=int8 runs the XLA attention path only")
+            h, k = self.num_heads, self.head_dim
+            q, k_, v = (
+                int8_matmul(
+                    x, kernel[:, i].reshape(d, h * k),
+                    bias[i].reshape(h * k), self.dtype
+                ).reshape(x.shape[0], x.shape[1], h, k)
+                for i in range(3))
+            return q, k_, v
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         bd = bias.astype(self.dtype)
@@ -345,6 +367,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     tp_mesh: Optional[Mesh] = None
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True
@@ -375,12 +398,16 @@ class Attention(nn.Module):
         # has no GSPMD partitioning rule, so feeding it the sharded
         # q/k/v pinned below would force replication (or fail to
         # partition) instead of running per-shard.
+        # int8 quant runs the XLA attention chain: the flash kernel's
+        # VMEM matmuls are bf16 and the projections around it are where
+        # the int8 MXU rate pays — mixing the two buys nothing.
         use_pallas = (impl == "pallas"
+                      and self.quant == "none"
                       and jax.default_backend() == "tpu"
                       and (self.tp_mesh is None
                            or int(self.tp_mesh.devices.size) == 1))
         qkv = QKVProj(self.num_heads, head_dim, dtype=self.dtype,
-                      name="qkv")
+                      quant=self.quant, name="qkv")
         if use_pallas:
             # Heads-first (B, H, L, Dh) in — emitted directly by the
             # projection einsum — and MERGED-HEADS (B, L, D) out: the
@@ -411,6 +438,10 @@ class Attention(nn.Module):
                                 PartitionSpec("data", None, "model", None))
             out = out.reshape(b, l, d)
 
+        if self.quant == "int8":
+            from instageo_tpu.ops.quant import QuantDense
+
+            return QuantDense(d, dtype=self.dtype, name="proj")(out)
         return nn.Dense(
             d, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
         )(out)
@@ -430,12 +461,19 @@ class Mlp(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.float32
     gelu: str = "exact"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(
-            self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1"
-        )(x)
+        if self.quant == "int8":
+            from instageo_tpu.ops.quant import QuantDense
+
+            dense = lambda n, name: QuantDense(n, dtype=self.dtype,  # noqa: E731
+                                               name=name)
+        else:
+            dense = lambda n, name: nn.Dense(  # noqa: E731
+                n, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        x = dense(self.hidden_dim, "fc1")(x)
         if self.gelu == "tanh":
             x = jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(self.dtype)
         elif self.gelu == "bf16":
@@ -443,9 +481,7 @@ class Mlp(nn.Module):
         else:
             # timm uses nn.GELU() (exact erf form), not the tanh approximation.
             x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
-        return nn.Dense(
-            self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2"
-        )(x)
+        return dense(self.out_dim, "fc2")(x)
 
 
 class Block(nn.Module):
@@ -462,6 +498,7 @@ class Block(nn.Module):
     attn_impl: str = "xla"
     tp_mesh: Optional[Mesh] = None
     gelu: str = "exact"
+    quant: str = "none"
     # Megatron-style sequence parallelism (tpu.sp, requires tp>1): the
     # residual stream between the matmul regions is sharded over the
     # MODEL axis on its TOKEN dim. LayerNorm and the residual adds are
@@ -484,13 +521,13 @@ class Block(nn.Module):
         y = LayerNormTPU(epsilon=1e-5, name="norm1")(x, not deterministic)
         x = x + Attention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
-            tp_mesh=self.tp_mesh, name="attn"
+            tp_mesh=self.tp_mesh, quant=self.quant, name="attn"
         )(y.astype(self.dtype), deterministic)
         x = sp_pin(x)
         y = LayerNormTPU(epsilon=1e-5, name="norm2")(x, not deterministic)
         x = x + Mlp(
             int(d * self.mlp_ratio), d, dtype=self.dtype, gelu=self.gelu,
-            name="mlp"
+            quant=self.quant, name="mlp"
         )(y.astype(self.dtype))
         return sp_pin(x)
 
@@ -579,6 +616,9 @@ class PrithviViT(nn.Module):
     remat: bool = False
     tp_mesh: Optional[Mesh] = None
     gelu: str = "exact"
+    # Dynamic int8 (W8A8) encoder matmuls (ops/quant.py): "none" | "int8".
+    # Inference-only serving knob (tpu.quant) — the trainer rejects it.
+    quant: str = "none"
     # Transformer-block parameter layout (see stack_block_params):
     #   "loop"     — per-block subtrees blocks_0..blocks_{d-1}, Python loop
     #                (default; matches the torch checkpoint layout);
@@ -677,6 +717,7 @@ class PrithviViT(nn.Module):
                     attn_impl=self.attn_impl,
                     tp_mesh=self.tp_mesh,
                     gelu=self.gelu,
+                    quant=self.quant,
                     sp=self.sp,
                     name=f"blocks_{i}",
                 )(tokens, deterministic)
@@ -708,6 +749,7 @@ class PrithviViT(nn.Module):
             attn_impl=self.attn_impl,
             tp_mesh=None if pipelined else self.tp_mesh,
             gelu=self.gelu,
+            quant=self.quant,
             sp=False if pipelined else self.sp,
         )
 

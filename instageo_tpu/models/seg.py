@@ -223,6 +223,12 @@ class PrithviSeg(nn.Module):
     remat: bool = False
     gelu: str = "exact"
     dropout_impl: str = "xla"
+    # Dynamic int8 (W8A8) encoder matmuls (tpu.quant, ops/quant.py):
+    # inference-only serving knob; the decoder head stays bf16 (its convs
+    # are lane-bound, not MXU-rate-bound — PERF.md "Fast segmentation
+    # head"). Param tree is unchanged, so checkpoints are interchangeable
+    # between the quantized and plain forms.
+    quant: str = "none"
     # Decoder-head implementation (model.head_impl):
     #   "torch" — the reference's 4-stage halving head (above), exact
     #             torch parity incl. checkpoint layout (default);
@@ -275,6 +281,7 @@ class PrithviSeg(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             gelu=self.gelu,
+            quant=self.quant,
             tp_mesh=self.tp_mesh,
             block_layout=self.block_layout,
             pp_mesh=self.pp_mesh,
@@ -397,6 +404,7 @@ def create_prithvi_seg(
     gelu: str = "exact",
     dropout_impl: str = "xla",
     head_impl: str = "torch",
+    quant: str = "none",
     tp_mesh: Optional[Any] = None,
     block_layout: str = "loop",
     pp_mesh: Optional[Any] = None,
@@ -419,6 +427,7 @@ def create_prithvi_seg(
         gelu=gelu,
         dropout_impl=dropout_impl,
         head_impl=head_impl,
+        quant=quant,
         tp_mesh=tp_mesh,
         block_layout=block_layout,
         pp_mesh=pp_mesh,

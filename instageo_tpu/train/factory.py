@@ -76,6 +76,7 @@ def build_model(cfg: Any) -> PrithviSeg:
                           ("attn_impl", ("xla", "pallas", "auto")),
                           ("dropout_impl", ("xla", "bits16", "bits8",
                                             "pallas")),
+                          ("quant", ("none", "int8")),
                           ("block_layout", ("loop", "scan", "pipeline"))):
         val = str(tpu_cfg.get(knob, allowed[0]))
         if val not in allowed:
@@ -110,6 +111,7 @@ def build_model(cfg: Any) -> PrithviSeg:
         attn_impl=str((cfg.get("tpu") or {}).get("attn_impl", "xla")),
         remat=bool((cfg.get("tpu") or {}).get("remat", False)),
         gelu=str((cfg.get("tpu") or {}).get("gelu", "exact")),
+        quant=str(tpu_cfg.get("quant", "none")),
         dropout_impl=str((cfg.get("tpu") or {}).get("dropout_impl", "xla")),
         head_impl=head_impl,
         block_layout=block_layout,

@@ -112,6 +112,13 @@ class Trainer:
         self.monitor_mode = "min" if self.is_reg else "max"
         self.best_metric = float("inf") if self.is_reg else -float("inf")
         tpu_cfg = self._tpu_cfg = cfg.get("tpu") or {}
+        if str(tpu_cfg.get("quant", "none")) != "none":
+            # jnp.round has a zero gradient: a quantized training graph
+            # would silently train nothing. tpu.quant is a serving knob
+            # (eval/infer/serve build their models via the same factory).
+            raise ValueError(
+                "tpu.quant is inference-only (ops/quant.py) — unset it "
+                "for mode=train")
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
         spc = tpu_cfg.get("steps_per_call", 1)

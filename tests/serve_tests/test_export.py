@@ -137,3 +137,20 @@ def test_export_artifact_is_code_free_and_small(tmp_path):
     live2 = make_predict_fn(model, variables2)
     np.testing.assert_array_equal(
         predict(variables2, x), np.asarray(live2(jnp.asarray(x))))
+
+
+def test_export_quant_model_roundtrip(tmp_path):
+    """A tpu.quant=int8 model exports (int8 dot serializes to StableHLO)
+    and the artifact reproduces the live quantized predictions."""
+    model = create_prithvi_seg("prithvi_eo_tiny", num_classes=3,
+                               image_size=32, num_bands=6, quant="int8")
+    x0 = np.zeros((1, 6, 1, 32, 32), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+    path = str(tmp_path / "quant.stablehlo")
+    export_predict(model, variables, path, num_bands=6, img_size=32,
+                   platforms=("cpu",))
+    predict, _ = load_predict(path)
+    x = np.random.default_rng(1).normal(size=(2, 6, 1, 32, 32)).astype(np.float32)
+    live = make_predict_fn(model, variables)
+    np.testing.assert_array_equal(predict(variables, x),
+                                  np.asarray(live(jnp.asarray(x))))
