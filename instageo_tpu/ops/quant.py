@@ -19,8 +19,9 @@ quantized form of those matmuls, opt-in via ``tpu.quant=int8``:
 
 Inference-only: ``jnp.round`` has a zero gradient, so a quantized
 training graph would silently train nothing — the trainer rejects
-``tpu.quant != none`` (train/trainer.py) and the factory only threads
-the knob into eval/infer/serving builds.
+``tpu.quant != none`` at its training entry points
+(``Trainer._reject_quant_training``; eval/infer/serving of a quantized
+model go through the same Trainer unimpeded).
 
 The reference has no quantized path (pure f32 torch —
 ``instageo/model/model.py``); this is a beyond-parity serving lever.

@@ -112,13 +112,6 @@ class Trainer:
         self.monitor_mode = "min" if self.is_reg else "max"
         self.best_metric = float("inf") if self.is_reg else -float("inf")
         tpu_cfg = self._tpu_cfg = cfg.get("tpu") or {}
-        if str(tpu_cfg.get("quant", "none")) != "none":
-            # jnp.round has a zero gradient: a quantized training graph
-            # would silently train nothing. tpu.quant is a serving knob
-            # (eval/infer/serve build their models via the same factory).
-            raise ValueError(
-                "tpu.quant is inference-only (ops/quant.py) — unset it "
-                "for mode=train")
         self._transfer_bf16 = str(tpu_cfg.get("precision", "bf16")) == "bf16" \
             and bool(tpu_cfg.get("bf16_transfer", True))
         spc = tpu_cfg.get("steps_per_call", 1)
@@ -583,8 +576,20 @@ class Trainer:
             key = jax.random.fold_in(key, int(words[-2]))
         return key
 
+    def _reject_quant_training(self) -> None:
+        """tpu.quant is a serving knob: jnp.round has a zero gradient, so
+        a quantized TRAINING graph would silently train nothing. Guarded
+        here (not in __init__) because mode=eval and ModelServer.evaluate
+        build a Trainer too — eval/infer of a quantized model is the
+        knob's whole point (ops/quant.py)."""
+        if str(self._tpu_cfg.get("quant", "none")) != "none":
+            raise ValueError(
+                "tpu.quant is inference-only (ops/quant.py) — unset it "
+                "for mode=train")
+
     def run_train_epoch(self, batches: Iterable, rng: jax.Array,
                         batch_size: int) -> Dict:
+        self._reject_quant_training()
         self._ensure_opt_state()
         rng = self._epoch_rng(rng)
         metrics = EpochMetrics.empty(self.num_classes)
@@ -724,6 +729,7 @@ class Trainer:
     def fit(self, train_loader, val_loader, checkpointer=None,
             seed: int = 1042, log_fn: Optional[Callable] = None) -> Dict:
         """Full training run; returns the last epoch's metric dict."""
+        self._reject_quant_training()
         num_epochs = int(self.cfg.train.get("num_epochs", 1))
         batch_size = int(self.cfg.train.get("batch_size", 8))
         monitor = "val_RMSE" if self.is_reg else "val_IoU"

@@ -117,8 +117,20 @@ def test_factory_threads_and_validates_quant():
         build_model(_cfg(**{"tpu.quant": "int4"}))
 
 
-def test_trainer_rejects_quant():
+def test_trainer_rejects_quant_training_but_allows_eval():
+    """The guard fires at TRAIN time, not construction: mode=eval and
+    ModelServer.evaluate build a Trainer around the quantized model —
+    that's the knob's intended path (trainer._reject_quant_training)."""
     cfg = _cfg(**{"tpu.quant": "int8"})
     model, variables = create_model(cfg)
+    trainer = Trainer(cfg, model, variables, mesh=make_mesh())
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(8, 6, 1, 32, 32)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, 32, 32)).astype(np.int32)
     with pytest.raises(ValueError, match="inference-only"):
-        Trainer(cfg, model, variables, mesh=make_mesh())
+        trainer.run_train_epoch(iter([(x, y)]), jax.random.PRNGKey(0), 8)
+    with pytest.raises(ValueError, match="inference-only"):
+        trainer.fit(lambda: iter([(x, y)]), lambda: iter([(x, y)]))
+    # Eval of the quantized model goes through.
+    metrics = trainer.run_eval_epoch(iter([(x, y)]), 8, "val")
+    assert np.isfinite(metrics["val_loss"])
