@@ -134,3 +134,82 @@ def test_trainer_rejects_quant_training_but_allows_eval():
     # Eval of the quantized model goes through.
     metrics = trainer.run_eval_epoch(iter([(x, y)]), 8, "val")
     assert np.isfinite(metrics["val_loss"])
+
+
+def test_quant_eval_and_inference_cli_cycle(tmp_path):
+    """The knob's full intended path at the CLI surface: train WITHOUT
+    quant (the guard forbids otherwise — also pinned here), then serve
+    the SAME checkpoint through mode=eval and mode=chip_inference with
+    tpu.quant=int8. Params are f32 either way (ops/quant.py), so no
+    checkpoint surgery is involved."""
+    import pandas as pd
+
+    from instageo_tpu.data.geotiff import Affine, GeoTiffReader, write_geotiff
+    from instageo_tpu.train.run import main as run_main
+
+    root = tmp_path / "chips"
+    root.mkdir()
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(8):
+        arr = rng.integers(1, 10000, size=(6, 32, 32)).astype(np.uint16)
+        sign = rng.choice([0, 1], size=(2, 2))
+        lab = np.repeat(np.repeat(sign, 16, axis=0), 16, axis=1).astype(np.int16)
+        arr[0] = np.where(lab > 0, 8000, 1000)
+        tr = Affine.from_origin(499980 + i * 960, 4100040, 30, 30)
+        write_geotiff(str(root / f"chip_{i}.tif"), arr, transform=tr,
+                      crs=32633, nodata=0)
+        write_geotiff(str(root / f"seg_map_{i}.tif"), lab[None], transform=tr,
+                      crs=32633, nodata=-1)
+        rows.append({"Input": f"chip_{i}.tif", "Label": f"seg_map_{i}.tif"})
+    pd.DataFrame(rows).to_csv(root / "train.csv", index=False)
+
+    def overrides(run_dir):
+        return [
+            f"root_dir={root}",
+            f"train_filepath={root / 'train.csv'}",
+            f"valid_filepath={root / 'train.csv'}",
+            f"test_filepath={root / 'train.csv'}",
+            f"run_dir={run_dir}",
+            "model.model_name=prithvi_eo_tiny",
+            "model.load_pretrained_weights=False",
+            "dataloader.img_size=32",
+            "dataloader.bands=[0,1,2,3,4,5]",
+            "dataloader.no_data_value=0",
+            "dataloader.mean=[5000,5000,5000,5000,5000,5000]",
+            "dataloader.std=[3000,3000,3000,3000,3000,3000]",
+            "train.ignore_index=-1",
+            "train.batch_size=8",
+            "train.num_epochs=2",
+            "train.learning_rate=0.002",
+            "test.img_size=32", "test.crop_size=32", "test.stride=32",
+            "tpu.precision=f32",
+        ]
+
+    # mode=train with the knob set fails fast at the CLI surface.
+    with pytest.raises(ValueError, match="inference-only"):
+        run_main(["mode=train", "tpu.quant=int8"]
+                 + overrides(tmp_path / "rejected"))
+
+    run_dir = tmp_path / "run"
+    run_main(["mode=train"] + overrides(run_dir))
+    ckpt = run_dir / "instageo_best_checkpoint"
+    assert ckpt.exists()
+
+    plain = run_main(["mode=eval", f"checkpoint_path={ckpt}"]
+                     + overrides(tmp_path / "eval_plain"))
+    quant = run_main(["mode=eval", f"checkpoint_path={ckpt}",
+                      "tpu.quant=int8"]
+                     + overrides(tmp_path / "eval_quant"))
+    assert np.isfinite(quant["test_loss"])
+    # int8 rescale error moves metrics a little, not qualitatively.
+    assert abs(quant["test_Acc"] - plain["test_Acc"]) < 0.1
+
+    n = run_main(["mode=chip_inference", f"checkpoint_path={ckpt}",
+                  "tpu.quant=int8"]
+                 + overrides(tmp_path / "infer_quant"))
+    assert n == 8
+    preds = sorted((root / "predictions").glob("prediction_*.tif"))
+    assert len(preds) == 8
+    with GeoTiffReader(str(preds[0])) as r:
+        assert r.dtypes[0] == "int8" and r.count == 1
