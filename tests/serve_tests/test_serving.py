@@ -317,3 +317,25 @@ def test_loader_chip_inference_pads_tail_batch(tmp_path, trained_world):
     assert n == 6
     # Both calls saw the SAME compiled batch shape.
     assert shapes == [(4, 6, 1, 32, 32), (4, 6, 1, 32, 32)]
+
+
+def test_quant_server_evaluate_and_agree_with_plain(trained_world):
+    """tpu.quant=int8 through the serving stack: ModelServer.evaluate
+    (which builds a Trainer — the guard must not fire outside training)
+    works, and the quantized pipeline's metrics stay within int8 rescale
+    tolerance of the plain server on the same checkpoint."""
+    root, ckpt = trained_world
+
+    plain = EvaluationPipeline(_serving_cfg(root, ckpt))
+    ref = plain.evaluate()
+    plain.cleanup()
+
+    qcfg = _serving_cfg(root, ckpt)
+    qcfg["tpu"]["quant"] = "int8"
+    quant = EvaluationPipeline(qcfg)
+    got = quant.evaluate()
+    assert quant.server.model.quant == "int8"
+    quant.cleanup()
+
+    assert np.isfinite(got["test_loss"])
+    assert abs(got["test_Acc"] - ref["test_Acc"]) < 0.1
