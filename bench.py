@@ -304,8 +304,10 @@ def main() -> None:
     if os.environ.get("BENCH_QUANT", "none") != "none":
         # MFU here stays normalized to the bf16 peak — int8 runs the MXU
         # at 2x that rate, so >50% would mean the int8 units are busy
-        # more than half the time.
-        out["quant"] = os.environ["BENCH_QUANT"]
+        # more than half the time. The tag is infer-scoped: bench_train
+        # never threads tpu.quant (the trainer rejects it), so in
+        # BENCH_MODE=all the train_* fields of the same record are bf16.
+        out["infer_quant"] = os.environ["BENCH_QUANT"]
     if mode == "all":
         tr = bench_train(platform)
         out.update({

@@ -20,7 +20,6 @@ Run:  python benchmarks/convergence_parity_tasks.py --task crop [--steps N]
 
 import argparse
 import json
-import math
 import os
 import sys
 import time

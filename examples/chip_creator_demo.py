@@ -61,7 +61,8 @@ def main() -> None:
     out1 = os.path.join(root, "out_basic")
     run_cli([f"--dataframe_path={csv}", f"--output_directory={out1}",
              "--data_source=HLS", "--chip_size=32", "--min_count=1",
-             "--shift_to_month_start=false", "--is_time_series_task=false", "--temporal_tolerance=5"])
+             "--shift_to_month_start=false", "--is_time_series_task=false",
+             "--temporal_tolerance=5"])
     summarize(out1)
 
     print("\n== Example 2: cloud masking (mask_types=cloud, strategy=any) ==")

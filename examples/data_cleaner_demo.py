@@ -12,7 +12,6 @@ Covers the notebook's three use cases:
 
 from __future__ import annotations
 
-import glob
 import os
 import sys
 

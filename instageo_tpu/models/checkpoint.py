@@ -208,7 +208,9 @@ def vit_params_from_torch(
     p["cls_token"] = sd["cls_token"].astype(np.float32)
 
     for i in range(arch.depth):
-        blk: Dict = {"norm1": {}, "norm2": {}, "attn": {"qkv": {}, "proj": {}}, "mlp": {"fc1": {}, "fc2": {}}}
+        blk: Dict = {"norm1": {}, "norm2": {},
+                     "attn": {"qkv": {}, "proj": {}},
+                     "mlp": {"fc1": {}, "fc2": {}}}
         _layernorm(blk["norm1"], sd, f"blocks.{i}.norm1")
         _layernorm(blk["norm2"], sd, f"blocks.{i}.norm2")
         _qkv_linear(blk["attn"]["qkv"], sd, f"blocks.{i}.attn.qkv",

@@ -49,14 +49,31 @@ def _group_for(bh: int, l: int) -> int:
     return 1
 
 
-def _group_heads(h: int, l: int) -> int:
-    """Heads per grid cell for the (B, H//g) grid of the fused-output
-    kernel: largest divisor of H within the same VMEM budget."""
+def _group_heads(h: int, l: int, d: int):
+    """Heads per grid cell for the (B, H//g) grid of the merged-output
+    kernel: largest divisor of H within the same VMEM budget whose
+    merged block width ``g·d`` is 128-lane aligned.
+
+    The alignment constraint is Mosaic's, not a tuning choice: the
+    merged-output block is (1, L, g·d) inside a (B, L, H·d) array, and
+    the TPU lowering requires the last block dim be a multiple of 128
+    (or the full array dim — only ``g == h``, usually past the VMEM
+    cap). Dh=64 variants always compose (2·64=128); Dh=80 (the 600M
+    family) only composes at g=8, so for L>384 (cap<8) there is NO legal
+    grouping — returns None and callers fall back to the heads-first
+    kernel, whose blocks end at (L, d) = full array dims (verified on
+    v5e: g=4/d=80 is a Mosaic compile error, g=8/d=80 runs)."""
     cap = 8 if l <= 384 else (4 if l <= 768 else 2)
-    for g in (8, 6, 4, 3, 2):
-        if g <= cap and h % g == 0:
+    for g in (8, 6, 4, 3, 2, 1):
+        if g <= cap and h % g == 0 and (g * d) % 128 == 0:
             return g
-    return 1
+    return None
+
+
+def blo_supported(h: int, l: int, d: int) -> bool:
+    """Whether ``flash_attention_blo`` has a legal grouping for this
+    (num_heads, seq_len, head_dim) — see ``_group_heads``."""
+    return _group_heads(h, l, d) is not None
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
@@ -206,7 +223,13 @@ def _flash_fwd_blo(q, k, v, interpret):
     """Forward: q/k/v (B, H, L, Dh) -> out (B, L, H·Dh) + lse residual."""
     b, h, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    g = _group_heads(h, l)
+    g = _group_heads(h, l, d)
+    if g is None:
+        raise ValueError(
+            f"flash_attention_blo: no 128-lane-aligned head grouping for "
+            f"H={h}, L={l}, Dh={d} (merged block width g·Dh must be a "
+            f"multiple of 128) — use flash_attention_bhld + transpose "
+            f"(ops.attention.blo_supported gates this)")
     grid = (b, h // g)
     qkv_spec = pl.BlockSpec((1, g, l, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -261,7 +284,7 @@ def _flash_blo_bwd(interpret, residuals, do):
     q, k, v, out, lse = residuals
     b, h, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    g = _group_heads(h, l)
+    g = _group_heads(h, l, d)  # same grouping the forward validated
     grid = (b, h // g)
     qkv_spec = pl.BlockSpec((1, g, l, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)

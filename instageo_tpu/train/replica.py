@@ -77,10 +77,16 @@ def _check_pretrained_gate(cfg: Any) -> Optional[str]:
     """A REAL replica is meaningless from a fresh init — fail fast and
     loudly before hours of training, unless CI explicitly opts out."""
     rep = cfg.get("replica") or {}
-    if not bool(cfg.model.get("load_pretrained_weights", False)):
-        return None
     if not _as_bool(rep.get("require_pretrained", True)):
-        return None
+        return None  # the ONLY opt-out (CI fixtures set it)
+    if not bool(cfg.model.get("load_pretrained_weights", False)):
+        # Not a silent bypass: turning off the pretrained load while the
+        # gate is up would still present a fresh-init run as a replica.
+        raise RuntimeError(
+            "mode=replica with model.load_pretrained_weights=False would "
+            "replicate from a fresh init — pass "
+            "replica.require_pretrained=False to knowingly do that "
+            "(CI fixtures do), or enable the pretrained load.")
     path = cfg.model.get("pretrained_path") or os.environ.get(
         "PRITHVI_PRETRAINED_PATH")
     if not path or not os.path.exists(str(path)):

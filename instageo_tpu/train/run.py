@@ -4,8 +4,9 @@ The reference's Hydra entry point (``instageo/model/run.py:60-246``) with the
 same mode surface — ``train``, ``eval``, ``chip_inference``, ``stats`` — and
 the same config keys, re-hosted on the framework's config system and TPU
 training stack. Two beyond-parity modes: ``sliding_inference`` (granule
-streaming) and ``export`` (StableHLO serving artifact, serve/export.py). Seed 1042 matches the reference (run.py:50-53); determinism
-comes from jax's stateless PRNG rather than cudnn flags.
+streaming) and ``export`` (StableHLO serving artifact, serve/export.py).
+Seed 1042 matches the reference (run.py:50-53); determinism comes from
+jax's stateless PRNG rather than cudnn flags.
 """
 
 from __future__ import annotations
@@ -18,8 +19,6 @@ import time
 from datetime import datetime
 from functools import partial
 from typing import Any, List, Optional
-
-import numpy as np
 
 from instageo_tpu.configs.config import (
     check_required_flags,

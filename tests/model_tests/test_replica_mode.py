@@ -59,6 +59,9 @@ def _overrides(root, run_dir):
         "test.img_size=32", "test.crop_size=32", "test.stride=32",
         "tpu.precision=f32",
         "replica.task=sen1floods11",
+        # CI fixtures replicate from a fresh init — the explicit (and
+        # only) gate opt-out (train/replica.py _check_pretrained_gate).
+        "replica.require_pretrained=False",
     ]
 
 
@@ -100,9 +103,17 @@ def test_replica_end_to_end(chip_dir, tmp_path):
 def test_replica_pretrained_gate(chip_dir, tmp_path, monkeypatch):
     """A real replica from a fresh init is refused up front."""
     monkeypatch.delenv("PRITHVI_PRETRAINED_PATH", raising=False)
+    gated = [o for o in _overrides(chip_dir, tmp_path / "gated")
+             if not o.startswith("replica.require_pretrained")]
     with pytest.raises(RuntimeError, match="PRITHVI_PRETRAINED_PATH"):
-        run_main(["mode=replica"] + _overrides(chip_dir, tmp_path / "gated")
+        run_main(["mode=replica"] + gated
                  + ["model.load_pretrained_weights=True"])
+    # Turning the pretrained LOAD off is not a bypass: with the gate up
+    # (require_pretrained defaults True) a fresh-init replica is refused
+    # too — replica.require_pretrained=False is the only opt-out.
+    with pytest.raises(RuntimeError, match="require_pretrained"):
+        run_main(["mode=replica"] + gated
+                 + ["model.load_pretrained_weights=False"])
     assert not (tmp_path / "gated" / "REPORT.md").exists()
 
 
