@@ -21,6 +21,8 @@ Semantics parity (same config names, same math):
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import logging
 import math
 import os
@@ -55,13 +57,56 @@ def _read_full(fname: str) -> np.ndarray:
         return src.read()
 
 
+def _read_full_cached(fname: str, cache_dir: str) -> np.ndarray:
+    """Decode-once chip cache: raw ``np.save`` of the full decoded raster.
+
+    Training is multi-epoch but the TIFF decode (inflate + predictor +
+    plane assembly) re-pays every epoch; a decoded ``.npy`` loads as one
+    ``fread`` and skips all of it from epoch 2 onward (PERF.md "Host
+    ingestion budget" lever). Keyed by (path-hash, mtime_ns, size) so an
+    updated source file invalidates its entry; writes are
+    tmp-then-``os.replace`` atomic so concurrent loader threads/processes
+    never observe a partial file; stale keys for the same source are
+    pruned on write. Band selection/scaling stay OUTSIDE the cache — the
+    entry is config-independent.
+    """
+    try:
+        st = os.stat(fname)
+    except OSError:
+        return _read_full(fname)
+    h = hashlib.sha1(os.path.abspath(fname).encode()).hexdigest()[:20]
+    key = f"{h}_{st.st_mtime_ns}_{st.st_size}.npy"
+    path = os.path.join(cache_dir, key)
+    try:
+        return np.load(path)
+    except Exception:
+        pass  # miss, or a corrupt entry -> re-decode (and overwrite)
+    data = _read_full(fname)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}_{threading.get_ident()}"
+        with open(tmp, "wb") as f:  # handle API: np.save(str) appends .npy
+            np.save(f, data)
+        os.replace(tmp, path)
+        for old in glob.glob(os.path.join(cache_dir, f"{h}_*.npy")):
+            if os.path.basename(old) != key:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+    except OSError as e:  # cache dir read-only/full: degrade to no-cache
+        log.warning("chip cache write failed (%s); continuing uncached", e)
+    return data
+
+
 def get_raster_data(
     fname: str,
     is_label: bool = True,
     bands: Optional[Sequence[int]] = None,
+    cache_dir: Optional[str] = None,
 ) -> np.ndarray:
     """Read a raster to (bands, H, W); select bands for imagery."""
-    data = _read_full(fname)
+    data = _read_full_cached(fname, cache_dir) if cache_dir else _read_full(fname)
     if (not is_label) and bands:
         data = data[list(bands), ...]
     return data
@@ -75,9 +120,10 @@ def process_data(
     replace_label: Optional[Tuple] = None,
     bands: Optional[Sequence[int]] = None,
     constant_multiplier: float = 1.0,
+    cache_dir: Optional[str] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Load and preprocess an (image, label) pair (reference :707-750)."""
-    arr_x = get_raster_data(im_fname, is_label=False, bands=bands)
+    arr_x = get_raster_data(im_fname, is_label=False, bands=bands, cache_dir=cache_dir)
     if no_data_value is not None and np.issubdtype(arr_x.dtype, np.floating):
         # Reference parity (dataloader.py:697 ``data.fillna(...)``): float
         # rasters (S1 chips) carry NaN for missing pixels — fill with the
@@ -86,7 +132,7 @@ def process_data(
     arr_x = arr_x * constant_multiplier
     arr_y = None
     if mask_fname:
-        arr_y = get_raster_data(mask_fname)
+        arr_y = get_raster_data(mask_fname, cache_dir=cache_dir)
         if replace_label:
             arr_y = np.where(arr_y == replace_label[0], replace_label[1], arr_y)
         if reduce_to_zero:
@@ -220,9 +266,17 @@ def random_augs(
             ims = np.clip(arr, 0.0, 1.0) * max_pixel_value
         elif name == "noise":
             std = float(aug.get("noise_std", 0.05))
-            arr = np.clip(ims, 0, max_pixel_value) / max_pixel_value
-            arr = arr + rng.normal(0, std, size=arr.shape).astype(np.float32)
-            ims = np.clip(arr, 0.0, 1.0) * max_pixel_value
+            # f32 ziggurat + in-place passes: same N(0, std) distribution
+            # and clip-normalize-roundtrip semantics as the f64 form, ~20%
+            # faster on the host ingest path (PERF.md "Host ingestion").
+            arr = np.clip(ims, 0, max_pixel_value)
+            arr *= np.float32(1.0 / max_pixel_value)
+            noise = rng.standard_normal(arr.shape, dtype=np.float32)
+            noise *= np.float32(std)
+            arr += noise
+            np.clip(arr, 0.0, 1.0, out=arr)
+            arr *= np.float32(max_pixel_value)
+            ims = arr
         else:
             raise ValueError(f"Unknown augmentation {name!r}")
     return ims, label
@@ -356,10 +410,12 @@ class InstaGeoDataset:
         constant_multiplier: float,
         bands: Optional[Sequence[int]] = None,
         include_filenames: bool = False,
+        cache_dir: Optional[str] = None,
     ) -> None:
         self.input_root = input_root
         self.preprocess_func = preprocess_func
         self.bands = list(bands) if bands else None
+        self.cache_dir = cache_dir
         self.file_paths = get_valid_filepaths(
             filename, input_root, chip_no_data_value, label_no_data_value)
         self.no_data_value = chip_no_data_value
@@ -380,6 +436,7 @@ class InstaGeoDataset:
             reduce_to_zero=self.reduce_to_zero,
             bands=self.bands,
             constant_multiplier=self.constant_multiplier,
+            cache_dir=self.cache_dir,
         )
         sample = self.preprocess_func(arr_x, arr_y)
         if self.include_filenames:

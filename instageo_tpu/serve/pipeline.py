@@ -88,6 +88,7 @@ class EvaluationPipeline:
             constant_multiplier=float(cfg.dataloader.get("constant_multiplier", 1.0)),
             bands=cfg.dataloader.get("bands"),
             include_filenames=True,
+            cache_dir=cfg.dataloader.get("cache_dir"),
         )
         return create_dataloader(ds, int(cfg.train.get("batch_size", 8)),
                                  collate_fn=infer_collate)
@@ -123,6 +124,7 @@ class EvaluationPipeline:
             reduce_to_zero=bool(cfg.dataloader.get("reduce_to_zero", False)),
             constant_multiplier=float(cfg.dataloader.get("constant_multiplier", 1.0)),
             bands=cfg.dataloader.get("bands"),
+            cache_dir=cfg.dataloader.get("cache_dir"),
         )
         loader = create_dataloader(ds, int(cfg.train.get("batch_size", 8)),
                                    collate_fn=eval_collate)

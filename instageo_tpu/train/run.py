@@ -47,6 +47,7 @@ def _make_dataset(filepath: str, cfg: Any, preprocess_func, include_filenames=Fa
         constant_multiplier=float(cfg.dataloader.get("constant_multiplier", 1.0)),
         bands=cfg.dataloader.get("bands"),
         include_filenames=include_filenames,
+        cache_dir=cfg.dataloader.get("cache_dir"),
     )
 
 
