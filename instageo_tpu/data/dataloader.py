@@ -146,19 +146,31 @@ def mask_label_with_chip(
     chip_no_data_value: float = 0,
     label_no_data_value: float = -1,
     bands_per_step: int = 6,
+    cache_dir: Optional[str] = None,
 ) -> bool:
     """True if the label has no valid pixel under the chip's data mask.
 
     Reference :753-781 — reads band ``6·i + 1`` of each timestep and keeps
-    label pixels where every timestep has data.
+    label pixels where every timestep has data. With ``cache_dir`` the QA
+    scan reads (and populates) the decoded-chip cache instead of partial
+    TIFF reads — the full decode is paid once here and ``__getitem__``
+    then hits a warm entry.
     """
-    with GeoTiffReader(chips_path) as src:
-        num_steps = max(1, src.count // bands_per_step)
-        stacked = src.read([bands_per_step * i + 1 for i in range(num_steps)])
+    if cache_dir:
+        full = _read_full_cached(chips_path, cache_dir)
+        num_steps = max(1, full.shape[0] // bands_per_step)
+        stacked = full[[bands_per_step * i for i in range(num_steps)]]
+    else:
+        with GeoTiffReader(chips_path) as src:
+            num_steps = max(1, src.count // bands_per_step)
+            stacked = src.read([bands_per_step * i + 1 for i in range(num_steps)])
     stacked = np.where(stacked == chip_no_data_value, 0, 1).all(0)
 
-    with GeoTiffReader(labels_path) as src:
-        label = src.read(1).astype(np.float64)
+    if cache_dir:
+        label = _read_full_cached(labels_path, cache_dir)[0].astype(np.float64)
+    else:
+        with GeoTiffReader(labels_path) as src:
+            label = src.read(1).astype(np.float64)
     label = np.where(label == label_no_data_value, np.nan, label)
     label = np.where(stacked == 0, np.nan, label)
     return bool(np.all(np.isnan(label)))
@@ -169,6 +181,7 @@ def get_valid_filepaths(
     input_root: str,
     no_data_value: float = -9999,
     ignore_index: float = -1,
+    cache_dir: Optional[str] = None,
 ) -> List[Tuple[str, Optional[str]]]:
     """QA scan over the chip CSV (``Input``/``Label`` columns).
 
@@ -191,6 +204,7 @@ def get_valid_filepaths(
                     im_path, mask_path,
                     chip_no_data_value=no_data_value,
                     label_no_data_value=ignore_index,
+                    cache_dir=cache_dir,
                 ):
                     file_paths.append((im_path, mask_path))
             else:
@@ -417,7 +431,8 @@ class InstaGeoDataset:
         self.bands = list(bands) if bands else None
         self.cache_dir = cache_dir
         self.file_paths = get_valid_filepaths(
-            filename, input_root, chip_no_data_value, label_no_data_value)
+            filename, input_root, chip_no_data_value, label_no_data_value,
+            cache_dir=cache_dir)
         self.no_data_value = chip_no_data_value
         self.replace_label = replace_label
         self.reduce_to_zero = reduce_to_zero
@@ -471,12 +486,35 @@ def infer_collate(samples):
     return xs, files, masks
 
 
-class DataLoader:
-    """Threaded prefetching batch loader (replaces torch DataLoader workers).
+# -- process-worker plumbing (module-level so spawn children can import it).
+# The dataset is pickled ONCE into each worker at pool start (initializer),
+# not per batch; workers then look samples up by index.
+_WORKER_DS = None
 
-    ``num_workers`` threads decode/augment samples concurrently (the GeoTIFF
-    codec and cv2 release the GIL in zlib/cv2 kernels); batches are staged in
-    a bounded queue so host IO overlaps device compute.
+
+def _pool_init(ds_bytes: bytes) -> None:
+    global _WORKER_DS
+    import pickle
+
+    _WORKER_DS = pickle.loads(ds_bytes)
+
+
+def _pool_get(i: int):
+    return _WORKER_DS[i]
+
+
+class DataLoader:
+    """Prefetching batch loader (replaces torch DataLoader workers).
+
+    ``worker_mode="thread"`` (default): ``num_workers`` threads decode/augment
+    samples concurrently — the GeoTIFF codec and cv2 release the GIL in
+    zlib/cv2 kernels, but numpy augment passes hold it, so thread scaling
+    flattens past a few workers. ``worker_mode="process"`` spawns real
+    processes (torch-DataLoader-style) for linear multi-core scaling of the
+    full decode→augment path; the dataset must be picklable (it is: a file
+    list + a module-level preprocess partial) and the pool is respawned per
+    epoch (~1 s — noise against minutes-long epochs). Batches are staged in
+    a bounded queue either way so host IO overlaps device compute.
     """
 
     def __init__(
@@ -489,7 +527,10 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch_depth: int = 2,
+        worker_mode: str = "thread",
     ) -> None:
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, got {worker_mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -498,6 +539,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch_depth = prefetch_depth
+        self.worker_mode = worker_mode
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -533,18 +575,43 @@ class DataLoader:
                     continue
             return False
 
+        def make_pool():
+            if self.worker_mode == "process" and self.num_workers > 1:
+                import multiprocessing as mp
+                import pickle
+                from concurrent.futures import ProcessPoolExecutor
+
+                # spawn (not fork): the parent may hold jax/XLA threads.
+                return ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_pool_init,
+                    initargs=(pickle.dumps(self.dataset),),
+                ), _pool_get
+            from concurrent.futures import ThreadPoolExecutor
+
+            return ThreadPoolExecutor(self.num_workers), self.dataset.__getitem__
+
         def produce():
             try:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                pool, getter = make_pool()
+                with pool:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        samples = list(pool.map(getter, [int(i) for i in idxs]))
                         if not put_or_stop(self.collate_fn(samples)):
                             return
             except Exception as e:  # surface worker errors to the consumer
+                from concurrent.futures.process import BrokenProcessPool
+
+                if isinstance(e, BrokenProcessPool):
+                    e = RuntimeError(
+                        "worker_mode=process pool died during startup or a "
+                        "batch. If this happened immediately, the usual cause "
+                        "is a non-importable __main__ (stdin/REPL script) — "
+                        "spawn workers must re-import it; run from a file or "
+                        "use worker_mode=thread. Original: " + repr(e))
                 put_or_stop(e)
             finally:
                 put_or_stop(None)

@@ -181,6 +181,14 @@ def run_replica(cfg: Any) -> Dict[str, Any]:
     hydra_dir = os.path.join(run_dir, ".hydra")
     base = ["--config-path", hydra_dir, "--config-name", "config",
             f"run_dir={run_dir}"]
+    # One decoded-chip cache shared by every stage: stats (stage 1) pays
+    # the TIFF decode once, train's epochs>=1 and both eval splits read
+    # .npy entries (dataloader.cache_dir). Opt out with
+    # replica.chip_cache=false or point dataloader.cache_dir elsewhere.
+    if _as_bool(rep.get("chip_cache", True)) and \
+            not cfg.dataloader.get("cache_dir"):
+        base.append(
+            f"dataloader.cache_dir={os.path.join(run_dir, 'chip_cache')}")
     stages: Dict[str, float] = {}
     report: Dict[str, Any] = {
         "task": str(rep.get("task", "")) or "unknown",

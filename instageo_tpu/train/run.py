@@ -134,9 +134,11 @@ def main(argv: Optional[List[str]] = None) -> Any:
         val_ds = _make_dataset(cfg.valid_filepath, cfg,
                                _train_preprocess(cfg, augment=False))
         nw = int(cfg.dataloader.get("num_workers", 1))
+        wm = str(cfg.dataloader.get("worker_mode", "thread"))
         train_loader = create_dataloader(train_ds, batch_size, shuffle=True,
-                                         num_workers=nw)
-        val_loader = create_dataloader(val_ds, batch_size, num_workers=nw)
+                                         num_workers=nw, worker_mode=wm)
+        val_loader = create_dataloader(val_ds, batch_size, num_workers=nw,
+                                       worker_mode=wm)
 
         teacher = None
         if cfg.train.get("distillation") and cfg.train.get("teacher_ckpt_path"):

@@ -106,6 +106,45 @@ def test_get_raster_data_band_select_outside_cache(chip, tmp_path):
     assert np.load(entry).shape == arr.shape
 
 
+def test_qa_scan_cached_matches_uncached(tmp_path):
+    """get_valid_filepaths drops the same rows with/without cache_dir.
+
+    Includes a chip whose label is all-invalid under the data mask (the
+    mask_label_with_chip drop path) and an unreadable chip.
+    """
+    import pandas as pd
+
+    from instageo_tpu.data.dataloader import get_valid_filepaths
+
+    rng = np.random.default_rng(2)
+    rows = []
+    # row 0: valid pair
+    arr = rng.integers(1, 10000, size=(6, 16, 16)).astype(np.uint16)
+    lab = np.ones((1, 16, 16), np.int16)
+    write_geotiff(str(tmp_path / "ok.tif"), arr, nodata=0)
+    write_geotiff(str(tmp_path / "ok_seg.tif"), lab, nodata=-1)
+    rows.append({"Input": "ok.tif", "Label": "ok_seg.tif"})
+    # row 1: chip all-nodata -> label fully masked -> dropped
+    write_geotiff(str(tmp_path / "bad.tif"),
+                  np.zeros((6, 16, 16), np.uint16), nodata=0)
+    write_geotiff(str(tmp_path / "bad_seg.tif"), lab, nodata=-1)
+    rows.append({"Input": "bad.tif", "Label": "bad_seg.tif"})
+    # row 2: unreadable chip -> dropped
+    (tmp_path / "junk.tif").write_bytes(b"\x00" * 64)
+    write_geotiff(str(tmp_path / "junk_seg.tif"), lab, nodata=-1)
+    rows.append({"Input": "junk.tif", "Label": "junk_seg.tif"})
+    csv = tmp_path / "t.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    plain = get_valid_filepaths(str(csv), str(tmp_path),
+                                no_data_value=0, ignore_index=-1)
+    cached = get_valid_filepaths(str(csv), str(tmp_path),
+                                 no_data_value=0, ignore_index=-1,
+                                 cache_dir=str(tmp_path / "cache"))
+    assert plain == cached
+    assert [os.path.basename(p[0]) for p in plain] == ["ok.tif"]
+
+
 def test_dataset_cached_epoch_matches_uncached(tmp_path):
     import pandas as pd
 
