@@ -91,7 +91,9 @@ class EvaluationPipeline:
             cache_dir=cfg.dataloader.get("cache_dir"),
         )
         return create_dataloader(ds, int(cfg.train.get("batch_size", 8)),
-                                 collate_fn=infer_collate)
+                                 collate_fn=infer_collate,
+                                 num_workers=int(cfg.dataloader.get("num_workers", 1)),
+                                 worker_mode=str(cfg.dataloader.get("worker_mode", "thread")))
 
     def evaluate(self) -> Dict[str, float]:
         """Sliding-window test evaluation (reference :289-299)."""
@@ -127,7 +129,9 @@ class EvaluationPipeline:
             cache_dir=cfg.dataloader.get("cache_dir"),
         )
         loader = create_dataloader(ds, int(cfg.train.get("batch_size", 8)),
-                                   collate_fn=eval_collate)
+                                   collate_fn=eval_collate,
+                                   num_workers=int(cfg.dataloader.get("num_workers", 1)),
+                                   worker_mode=str(cfg.dataloader.get("worker_mode", "thread")))
         return server.evaluate(lambda: iter(loader))
 
     def chip_inference(self, out_dir: Optional[str] = None) -> Dict[str, Any]:

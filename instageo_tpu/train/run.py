@@ -101,8 +101,10 @@ def main(argv: Optional[List[str]] = None) -> Any:
 
         check_required_flags(["root_dir", "train_filepath"], cfg)
         ds = _make_dataset(cfg.train_filepath, cfg, _train_preprocess(cfg, stats_mode=True))
-        loader = create_dataloader(ds, batch_size, shuffle=True,
-                                   num_workers=int(cfg.dataloader.get("num_workers", 1)))
+        loader = create_dataloader(
+            ds, batch_size, shuffle=True,
+            num_workers=int(cfg.dataloader.get("num_workers", 1)),
+            worker_mode=str(cfg.dataloader.get("worker_mode", "thread")))
         mean, std, class_weights = compute_stats(
             loader, cfg.get("is_reg_task", False),
             ignore_index=int(cfg.train.get("ignore_index", -1)))
@@ -223,8 +225,10 @@ def main(argv: Optional[List[str]] = None) -> Any:
             stride=int(cfg.test.get("stride", 224)),
         )
         test_ds = _make_dataset(cfg.test_filepath, cfg, test_pre)
-        test_loader = create_dataloader(test_ds, batch_size,
-                                        collate_fn=eval_collate)
+        test_loader = create_dataloader(
+            test_ds, batch_size, collate_fn=eval_collate,
+            num_workers=int(cfg.dataloader.get("num_workers", 1)),
+            worker_mode=str(cfg.dataloader.get("worker_mode", "thread")))
         trainer = Trainer(cfg, model, variables, mesh=mesh)
         # crops-per-image × batch composes the effective eval batch
         crops = max(1, (int(cfg.test.get("img_size", 512))
@@ -260,7 +264,10 @@ def main(argv: Optional[List[str]] = None) -> Any:
         infer_pre = partial(_train_preprocess(cfg, augment=False),
                             crop="center")
         ds = _make_dataset(cfg.test_filepath, cfg, infer_pre, include_filenames=True)
-        loader = create_dataloader(ds, batch_size, collate_fn=infer_collate)
+        loader = create_dataloader(
+            ds, batch_size, collate_fn=infer_collate,
+            num_workers=int(cfg.dataloader.get("num_workers", 1)),
+            worker_mode=str(cfg.dataloader.get("worker_mode", "thread")))
         n, dt = chip_inference(loader, out_dir, model, variables,
                                is_reg_task=bool(cfg.get("is_reg_task", False)))
         print(json.dumps({"chips": n, "seconds": dt,
