@@ -82,9 +82,9 @@ def _read_full_cached(fname: str, cache_dir: str) -> np.ndarray:
     except Exception:
         pass  # miss, or a corrupt entry -> re-decode (and overwrite)
     data = _read_full(fname)
+    tmp = f"{path}.tmp{os.getpid()}_{threading.get_ident()}"
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{path}.tmp{os.getpid()}_{threading.get_ident()}"
         with open(tmp, "wb") as f:  # handle API: np.save(str) appends .npy
             np.save(f, data)
         os.replace(tmp, path)
@@ -96,6 +96,10 @@ def _read_full_cached(fname: str, cache_dir: str) -> np.ndarray:
                     pass
     except OSError as e:  # cache dir read-only/full: degrade to no-cache
         log.warning("chip cache write failed (%s); continuing uncached", e)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
     return data
 
 

@@ -33,5 +33,6 @@ def test_bench_suite_quick_cpu():
     # The attention A/B runs only on real TPU hardware (Pallas kernel).
     assert {"native_decode_throughput", "chip_math_throughput",
             "prithvi_train_step_throughput",
+            "host_ingest_throughput", "host_ingest_throughput_cached",
             "granule_stream_throughput"} <= names, names
     assert all(m["value"] > 0 for m in metrics)
