@@ -56,6 +56,9 @@ def main() -> None:
         "dataloader.mean=[5000,5000,5000,5000,5000,5000]",
         "dataloader.std=[3000,3000,3000,3000,3000,3000]",
         "dataloader.no_data_value=0", "train.ignore_index=-1",
+        # decoded-chip cache: epochs 2-3 (and eval/inference below)
+        # skip TIFF decode entirely (PERF.md "Decoded-chip cache")
+        f"dataloader.cache_dir={root}/chip_cache",
         "train.batch_size=8", "train.num_epochs=3", "train.learning_rate=0.002",
         "test.img_size=32", "test.crop_size=32", "test.stride=32",
     ]
