@@ -13,7 +13,9 @@ device count divided by that target.
 
 Env knobs: BENCH_BATCH (infer batch), BENCH_TRAIN_BATCH,
 BENCH_STEPS_PER_CALL (train steps chained per jitted call), BENCH_MODE
-(``all``|``infer``|``train``), BENCH_MODEL (registry variant, default
+(``all``|``infer``|``train``|``e2e`` — e2e runs the composed
+files→cache→loader→train-step pipeline, see ``bench_e2e``), BENCH_MODEL
+(registry variant, default
 prithvi_eo_v1_100), BENCH_HEAD (``fast`` default — the recommended
 production head; ``torch`` probes the checkpoint-layout-parity head),
 BENCH_REMAT=1 (per-block remat), BENCH_GRAD_ACCUM
@@ -270,11 +272,155 @@ def bench_train(platform: str) -> dict:
     }
 
 
+def bench_e2e(platform: str, *, batch: int = None, n_chips: int = None,
+              epochs: int = None, model_name: str = None,
+              num_workers: int = None, mode: str = None) -> dict:
+    """Composed loader→device steady state (VERDICT r4 "Next round" #5).
+
+    Builds a real on-disk chip dataset, then runs the ACTUAL training
+    pipeline — InstaGeoDataset → decoded-chip ``.npy`` cache → worker
+    loader → ``Trainer.run_train_epoch`` (device steps overlap host
+    decode via JAX async dispatch) — and reports the steady-state
+    epoch-level chips/s next to the HBM-resident device step time, so
+    the composed claim (loader + prefetch + device step sustain the
+    headline number) is a measured pipeline, not two separate numbers.
+
+    On the relay-attached dev box the absolute number is TRANSFER-bound
+    (a b=128 f32 batch is ~154 MB against a 10-25 MB/s link —
+    CLAUDE.md); the ``relay_bound`` flag marks such runs. On a local
+    TPU host the same harness measures the real overlap efficiency.
+
+    Knobs: BENCH_E2E_BATCH (default 32 TPU / 8 CPU), BENCH_E2E_CHIPS
+    (default 4x batch), BENCH_E2E_EPOCHS (timed epochs, default 2),
+    BENCH_WORKERS / BENCH_WORKER_MODE (loader parallelism).
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from instageo_tpu.configs.config import load_config
+    from instageo_tpu.data.dataloader import create_dataloader
+    from instageo_tpu.data.geotiff import write_geotiff
+    from instageo_tpu.parallel.mesh import make_mesh
+    from instageo_tpu.train.factory import create_model
+    from instageo_tpu.train.run import _make_dataset, _train_preprocess
+    from instageo_tpu.train.trainer import EpochMetrics, Trainer
+
+    batch = batch or int(os.environ.get("BENCH_E2E_BATCH",
+                                        32 if platform == "tpu" else 8))
+    n = n_chips or int(os.environ.get("BENCH_E2E_CHIPS", 4 * batch))
+    epochs = epochs or int(os.environ.get("BENCH_E2E_EPOCHS", "2"))
+    workers = num_workers or int(os.environ.get("BENCH_WORKERS", "1"))
+    worker_mode = mode or os.environ.get("BENCH_WORKER_MODE", "thread")
+    model_name = model_name or os.environ.get("BENCH_MODEL",
+                                              "prithvi_eo_v1_100")
+
+    root = tempfile.mkdtemp(prefix="e2e_bench_")
+    try:
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(n):
+            arr = rng.integers(1, 10000, size=(6, 224, 224)).astype(np.uint16)
+            lab = rng.integers(0, 2, size=(1, 224, 224)).astype(np.int16)
+            write_geotiff(os.path.join(root, f"chip_{i}.tif"), arr,
+                          compress="deflate", nodata=0)
+            write_geotiff(os.path.join(root, f"seg_{i}.tif"), lab,
+                          compress="deflate", nodata=-1)
+            rows.append({"Input": f"chip_{i}.tif", "Label": f"seg_{i}.tif"})
+        csv = os.path.join(root, "train.csv")
+        pd.DataFrame(rows).to_csv(csv, index=False)
+
+        cfg = load_config("config", overrides={
+            "root_dir": root,
+            "dataloader.img_size": 224,
+            "dataloader.bands": [0, 1, 2, 3, 4, 5],
+            "dataloader.mean": [5000.0] * 6, "dataloader.std": [3000.0] * 6,
+            "dataloader.no_data_value": 0,
+            "dataloader.cache_dir": os.path.join(root, "_chip_cache"),
+            "dataloader.num_workers": workers,
+            "dataloader.worker_mode": worker_mode,
+            "model.model_name": model_name,
+            "model.head_impl": os.environ.get("BENCH_HEAD", "fast"),
+            "model.load_pretrained_weights": False,
+            "train.batch_size": batch,
+            "train.ignore_index": -1,
+            "tpu.precision": "bf16" if platform == "tpu" else "f32",
+            "tpu.attn_impl": os.environ.get("BENCH_ATTN", "auto"),
+            # One step per call: the epoch is short and the scan-group
+            # staging would need k*batch chips resident to form a group.
+            "tpu.steps_per_call": 1,
+        })
+        ds = _make_dataset(csv, cfg, _train_preprocess(cfg))
+        loader = create_dataloader(ds, batch_size=batch, shuffle=True,
+                                   num_workers=workers,
+                                   worker_mode=worker_mode)
+        model, variables = create_model(cfg)
+        trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
+
+        # Warm epoch: compiles the step, populates the chip cache.
+        trainer.run_train_epoch(iter(loader), jax.random.PRNGKey(0), batch)
+        t0 = time.perf_counter()
+        for e in range(epochs):
+            trainer.run_train_epoch(iter(loader),
+                                    jax.random.PRNGKey(e + 1), batch)
+        e2e_sec = time.perf_counter() - t0
+        e2e_cps = (epochs * n) / e2e_sec
+
+        # HBM-resident device cadence on the SAME model/batch for the
+        # overlap comparison (one resident batch, state donated).
+        x = rng.normal(size=(batch, 6, 1, 224, 224)).astype(np.float32)
+        y = rng.integers(0, 2, size=(batch, 224, 224)).astype(np.int32)
+        xd, yd = trainer._prepare(x, y, batch)
+        key = trainer._epoch_rng(jax.random.PRNGKey(9))
+        holder = {"state": trainer.state,
+                  "metrics": EpochMetrics.empty(trainer.num_classes)}
+
+        def one_step(i):
+            holder["state"], holder["metrics"] = trainer._train_step(
+                holder["state"], xd, yd, jax.random.fold_in(key, i),
+                holder["metrics"])
+            return holder["metrics"].loss_sum
+
+        sec, _times = _time_iters(one_step, 6 if platform == "tpu" else 2)
+        hbm_cps = batch / sec
+        return {
+            "batch": batch,
+            "n_chips": n,
+            "epochs": epochs,
+            "e2e_chips_per_sec": e2e_cps,
+            "hbm_chips_per_sec": hbm_cps,
+            "pipeline_efficiency": e2e_cps / hbm_cps if hbm_cps else 0.0,
+            "host_cores": os.cpu_count() or 1,
+            "workers": workers,
+            "worker_mode": worker_mode,
+            # The dev box reaches the TPU through a ~10-25 MB/s relay;
+            # there the composed number measures the link, not the
+            # framework (CLAUDE.md). Flag so readers don't compare it
+            # against local-host numbers.
+            "relay_bound": platform == "tpu",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     devices = jax.devices()
     platform = devices[0].platform
     peak = _peak_flops(devices[0])
     mode = os.environ.get("BENCH_MODE", "all")
+
+    if mode == "e2e":  # composed loader->device pipeline (VERDICT r4 #5)
+        e2 = bench_e2e(platform)
+        print(json.dumps({
+            "metric": "prithvi_100m_e2e_train_throughput",
+            "value": round(e2["e2e_chips_per_sec"], 2),
+            "unit": "chips/sec (files->cache->loader->train step, composed)",
+            "vs_baseline": round(
+                e2["e2e_chips_per_sec"] / PER_CHIP_TARGET, 4),
+            **{k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in e2.items() if k != "e2e_chips_per_sec"}}))
+        return
 
     if mode == "train":  # train-only probe (dev loop; headline stays infer)
         tr = bench_train(platform)

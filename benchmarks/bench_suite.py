@@ -326,6 +326,35 @@ def bench_granule(quick: bool) -> None:
          f"chip={chip})", tile_s=round(dt, 2))
 
 
+def bench_e2e_pipeline(quick: bool) -> None:
+    """Composed loader→device steady state (VERDICT r4 #5): the SAME
+    harness as ``BENCH_MODE=e2e`` (bench.bench_e2e — files → decoded-chip
+    cache → worker loader → Trainer.run_train_epoch with async-dispatch
+    overlap), at CI size on CPU / real size on TPU. Reports the pipeline
+    efficiency (e2e vs HBM-resident cadence); on the relay-attached dev
+    box the TPU number is link-bound and flagged ``relay_bound``."""
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    r = bench.bench_e2e(
+        "tpu" if on_tpu else "cpu",
+        batch=32 if on_tpu else 4,
+        n_chips=(128 if not quick else 64) if on_tpu else 8,
+        epochs=1 if quick else 2,
+        model_name="prithvi_eo_v1_100" if on_tpu else "prithvi_eo_tiny",
+        num_workers=1, mode="thread")
+    emit("e2e_train_pipeline_throughput", r["e2e_chips_per_sec"],
+         "chips/sec (files->cache->loader->train step, composed)",
+         pipeline_efficiency=round(r["pipeline_efficiency"], 3),
+         hbm_chips_per_sec=round(r["hbm_chips_per_sec"], 2),
+         relay_bound=r["relay_bound"], batch=r["batch"],
+         n_chips=r["n_chips"])
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     bench_native_decode(quick)
@@ -334,6 +363,7 @@ def main() -> None:
     bench_attention(quick)
     bench_train_step(quick)
     bench_granule(quick)
+    bench_e2e_pipeline(quick)
 
 
 if __name__ == "__main__":

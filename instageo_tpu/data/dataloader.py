@@ -89,11 +89,22 @@ def _read_full_cached(fname: str, cache_dir: str) -> np.ndarray:
             np.save(f, data)
         os.replace(tmp, path)
         for old in glob.glob(os.path.join(cache_dir, f"{h}_*.npy")):
-            if os.path.basename(old) != key:
-                try:
-                    os.remove(old)
-                except OSError:
-                    pass
+            base = os.path.basename(old)
+            if base == key:
+                continue
+            # Cross-process prune race (ADVICE r4): a writer holding an
+            # older stat view must never glob-delete an entry a peer just
+            # wrote for a NEWER version of the same source — compare the
+            # embedded mtime_ns and only prune strictly-older keys.
+            try:
+                if int(base.split("_")[1]) > st.st_mtime_ns:
+                    continue
+            except (IndexError, ValueError):
+                pass  # malformed name: treat as stale
+            try:
+                os.remove(old)
+            except OSError:
+                pass
     except OSError as e:  # cache dir read-only/full: degrade to no-cache
         log.warning("chip cache write failed (%s); continuing uncached", e)
         try:
@@ -101,6 +112,23 @@ def _read_full_cached(fname: str, cache_dir: str) -> np.ndarray:
         except OSError:
             pass
     return data
+
+
+def _evict_cached(fname: str, cache_dir: Optional[str]) -> None:
+    """Drop every cache entry for ``fname`` (any mtime/size version).
+
+    Used by the QA scan for rows it REMOVES from the dataset (ADVICE r4):
+    their decoded chips/labels would otherwise sit on disk forever —
+    ``__getitem__`` never reads them and the stale-key prune only fires
+    on a re-write of the same source."""
+    if not cache_dir:
+        return
+    h = hashlib.sha1(os.path.abspath(fname).encode()).hexdigest()[:20]
+    for old in glob.glob(os.path.join(cache_dir, f"{h}_*.npy")):
+        try:
+            os.remove(old)
+        except OSError:
+            pass
 
 
 def get_raster_data(
@@ -211,10 +239,17 @@ def get_valid_filepaths(
                     cache_dir=cache_dir,
                 ):
                     file_paths.append((im_path, mask_path))
+                else:
+                    # Dropped row: its just-cached decodes are dead —
+                    # evict so the cache holds only rows the dataset
+                    # will actually read (ADVICE r4).
+                    _evict_cached(im_path, cache_dir)
+                    _evict_cached(mask_path, cache_dir)
             else:
                 file_paths.append((im_path, None))
         except Exception as e:  # unreadable chip -> drop (reference behavior)
             log.error("%s: %s", im_path, e)
+            _evict_cached(im_path, cache_dir)
             continue
     log.info("Dropped a total of %d rows", len(data) - len(file_paths))
     return file_paths
@@ -603,7 +638,12 @@ class DataLoader:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(getter, [int(i) for i in idxs]))
+                        # chunksize: one IPC round trip per worker, not
+                        # per ~1 MB sample (ADVICE r4 — default 1 eroded
+                        # process-mode scaling at larger batches).
+                        samples = list(pool.map(
+                            getter, [int(i) for i in idxs],
+                            chunksize=max(1, len(idxs) // self.num_workers)))
                         if not put_or_stop(self.collate_fn(samples)):
                             return
             except Exception as e:  # surface worker errors to the consumer

@@ -220,6 +220,10 @@ class PrithviSeg(nn.Module):
     embed_dims: Optional[Tuple[int, ...]] = None
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    # Test-only: run pallas attention kernels in interpret mode so the
+    # pallas branch is exercisable on the CPU mesh (models/prithvi.py
+    # Attention.attn_interpret).
+    attn_interpret: bool = False
     remat: bool = False
     gelu: str = "exact"
     dropout_impl: str = "xla"
@@ -279,6 +283,7 @@ class PrithviSeg(nn.Module):
             coords_scale_learn=arch.coords_scale_learn,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            attn_interpret=self.attn_interpret,
             remat=self.remat,
             gelu=self.gelu,
             quant=self.quant,
@@ -400,6 +405,7 @@ def create_prithvi_seg(
     depth: int = -1,
     dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "xla",
+    attn_interpret: bool = False,
     remat: bool = False,
     gelu: str = "exact",
     dropout_impl: str = "xla",
@@ -423,6 +429,7 @@ def create_prithvi_seg(
         depth=depth,
         dtype=dtype,
         attn_impl=attn_impl,
+        attn_interpret=attn_interpret,
         remat=remat,
         gelu=gelu,
         dropout_impl=dropout_impl,

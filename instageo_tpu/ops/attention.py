@@ -70,10 +70,29 @@ def _group_heads(h: int, l: int, d: int):
     return None
 
 
+def _merged_grouping(h: int, l: int, d: int):
+    """Like ``_group_heads`` but also admits ``g == h`` (merged block =
+    the FULL trailing array dim ``h·d``, which Mosaic always allows
+    regardless of 128-alignment) when it fits the VMEM cap. Covers small
+    test/probe shapes (e.g. H=2/Dh=80 → block width 160 = full dim)."""
+    g = _group_heads(h, l, d)
+    if g is not None:
+        return g
+    cap = 8 if l <= 384 else (4 if l <= 768 else 2)
+    return h if h <= cap else None
+
+
 def blo_supported(h: int, l: int, d: int) -> bool:
-    """Whether ``flash_attention_blo`` has a legal grouping for this
-    (num_heads, seq_len, head_dim) — see ``_group_heads``."""
-    return _group_heads(h, l, d) is not None
+    """Whether the MERGED-OUTPUT kernel has a legal grouping for this
+    (num_heads, seq_len, head_dim) — see ``_group_heads`` /
+    ``_merged_grouping``. When False, ``flash_attention_blo`` still
+    works: it dispatches to ``flash_attention_bhld`` and pays one HBM
+    transpose to produce the merged layout (the round-3c configuration —
+    correct everywhere, slower than the zero-transpose merged kernel).
+    Callers that pick between pallas and XLA on perf grounds (the
+    ``attn_impl=auto`` policy in models/prithvi.py) use this to prefer
+    XLA where only the transpose fallback is available."""
+    return _merged_grouping(h, l, d) is not None
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
@@ -223,13 +242,13 @@ def _flash_fwd_blo(q, k, v, interpret):
     """Forward: q/k/v (B, H, L, Dh) -> out (B, L, H·Dh) + lse residual."""
     b, h, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    g = _group_heads(h, l, d)
+    g = _merged_grouping(h, l, d)
     if g is None:
         raise ValueError(
-            f"flash_attention_blo: no 128-lane-aligned head grouping for "
-            f"H={h}, L={l}, Dh={d} (merged block width g·Dh must be a "
-            f"multiple of 128) — use flash_attention_bhld + transpose "
-            f"(ops.attention.blo_supported gates this)")
+            f"_flash_fwd_blo: no legal head grouping for H={h}, L={l}, "
+            f"Dh={d} (merged block width g·Dh must be 128-lane aligned "
+            f"or the full H·Dh dim) — flash_attention_blo dispatches such "
+            f"shapes to flash_attention_bhld + transpose instead")
     grid = (b, h // g)
     qkv_spec = pl.BlockSpec((1, g, l, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -254,23 +273,14 @@ def _flash_fwd_blo(q, k, v, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_blo(
+def _flash_blo_merged(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention, heads-first in, MERGED-HEADS out:
-    q/k/v (B, H, L, Dh) -> (B, L, H·Dh).
-
-    The full zero-layout-work attention: the qkv projection einsum emits
-    heads-first for free (``QKVProj heads_first=True``), and the output
-    lands in the exact layout the output projection's (H·Dh, D) matmul
-    contracts over — the head merge is a static column offset inside the
-    kernel epilogue. Neither the forward nor the backward touches an HBM
-    transpose anywhere in the attention chain (round-4 fix for the
-    round-3c finding that one residual transpose + its backward twin ate
-    the kernel-level win; PERF.md)."""
+    """Merged-output kernel core (requires a legal grouping —
+    ``blo_supported``); the public entry is ``flash_attention_blo``."""
     out, _ = _flash_fwd_blo(q, k, v, interpret)
     return out
 
@@ -284,7 +294,7 @@ def _flash_blo_bwd(interpret, residuals, do):
     q, k, v, out, lse = residuals
     b, h, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    g = _group_heads(h, l, d)  # same grouping the forward validated
+    g = _merged_grouping(h, l, d)  # same grouping the forward validated
     grid = (b, h // g)
     qkv_spec = pl.BlockSpec((1, g, l, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -310,7 +320,38 @@ def _flash_blo_bwd(interpret, residuals, do):
     return dq, dk, dv
 
 
-flash_attention_blo.defvjp(_flash_blo_fwd, _flash_blo_bwd)
+_flash_blo_merged.defvjp(_flash_blo_fwd, _flash_blo_bwd)
+
+
+def flash_attention_blo(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention, heads-first in, MERGED-HEADS out:
+    q/k/v (B, H, L, Dh) -> (B, L, H·Dh). Differentiable; works for EVERY
+    (H, L, Dh) — shape support only selects which kernel runs:
+
+    - ``blo_supported``: the merged-output kernel — the qkv projection
+      einsum emits heads-first for free (``QKVProj heads_first=True``)
+      and the output lands in the exact layout the output projection's
+      (H·Dh, D) matmul contracts over, so neither the forward nor the
+      backward touches an HBM transpose anywhere in the attention chain
+      (round-4 fix for the round-3c finding that one residual transpose
+      + its backward twin ate the kernel-level win; PERF.md).
+    - otherwise (Dh=80 at L>384 — the 600M family multi-temporal, where
+      no merged block width is 128-lane aligned): the heads-first kernel
+      ``flash_attention_bhld`` plus ONE HBM transpose to the merged
+      layout (its backward pays the twin transpose). Correct everywhere;
+      the ``attn_impl=auto`` policy prefers XLA over this fallback for
+      large-batch shapes (models/prithvi.py).
+    """
+    b, h, l, d = q.shape
+    if _merged_grouping(h, l, d) is None:
+        out = flash_attention_bhld(q, k, v, interpret)  # (B, H, L, Dh)
+        return out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+    return _flash_blo_merged(q, k, v, interpret)
 
 
 def _prep(x, b, h, l, d):

@@ -109,6 +109,9 @@ def build_model(cfg: Any) -> PrithviSeg:
         depth=int(cfg.model.get("depth", -1)),
         dtype=_dtype_from_cfg(cfg),
         attn_impl=str((cfg.get("tpu") or {}).get("attn_impl", "xla")),
+        # Test-only: interpret-mode pallas so the pallas branch runs on
+        # the CPU mesh (models/prithvi.py Attention.attn_interpret).
+        attn_interpret=bool(tpu_cfg.get("attn_interpret", False)),
         remat=bool((cfg.get("tpu") or {}).get("remat", False)),
         gelu=str((cfg.get("tpu") or {}).get("gelu", "exact")),
         quant=str(tpu_cfg.get("quant", "none")),

@@ -34,5 +34,6 @@ def test_bench_suite_quick_cpu():
     assert {"native_decode_throughput", "chip_math_throughput",
             "prithvi_train_step_throughput",
             "host_ingest_throughput", "host_ingest_throughput_cached",
-            "granule_stream_throughput"} <= names, names
+            "granule_stream_throughput",
+            "e2e_train_pipeline_throughput"} <= names, names
     assert all(m["value"] > 0 for m in metrics)
