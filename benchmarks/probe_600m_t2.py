@@ -5,9 +5,10 @@ Round 4's regression: Prithvi-V2-600 (16 heads, Dh=80) at T>=2 (L=513+)
 crashed at TRACE time on a single TPU under auto/pallas — no legal
 merged-output grouping and no fallback. This probe runs ONE train step
 and one inference forward of the full 600M encoder geometry at T=2
-under auto (auto must resolve to XLA there — ops/README.md support
-matrix) and a T=1 train step (auto -> merged pallas kernel, g=8), plus
-a direct compile of the bhld fallback dispatch at the T=2 shape.
+under auto (round-5 policy: training -> pallas via the bhld+transpose
+fallback, measured faster than XLA at that shape — PERF.md "Attention
+auto policy") and a T=1 train step (auto -> merged pallas kernel, g=8),
+plus a direct compile of the bhld fallback dispatch at the T=2 shape.
 
 Tiny batch and scan block layout keep relay transfer and compile time
 sane; correctness (finite loss) is the bar, not throughput.
@@ -101,6 +102,6 @@ def run_fallback_kernel() -> None:
 
 if __name__ == "__main__":
     run_fallback_kernel()
-    run_600m(t_dim=2)   # the round-4 crash shape: auto -> XLA
+    run_600m(t_dim=2)   # the round-4 crash shape: auto -> bhld fallback
     run_600m(t_dim=1)   # auto -> merged pallas (g=8)
     print("OK", flush=True)

@@ -392,8 +392,6 @@ class Attention(nn.Module):
                  ) -> jnp.ndarray:
         # (No dropout in Prithvi attention — `deterministic` is threaded
         # only as the train-vs-inference signal for the auto impl choice.)
-        from instageo_tpu.ops.attention import blo_supported
-
         b, l, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
@@ -401,22 +399,24 @@ class Attention(nn.Module):
         impl = self.attn_impl
         if impl == "auto":
             # Batch/length/mode are static under jit, so the choice binds
-            # per compiled program. The merged-output flash kernel
-            # (round 4) wins every measured TRAINING step — fwd+bwd with
-            # zero layout work: +5.3% at b=128/L=197 (599.9 vs 569.9
-            # chips/s), +12.6% at T=3/L=589 — and small-batch serving
-            # (~2.7x kernel-level at b≤16). Large-batch INFERENCE stays
-            # XLA: forward-only at b=512 measured 1722 (xla) vs 1596
-            # (pallas) chips/s — XLA fuses its attention chain into the
-            # neighbors and is near its HBM floor at L=197 (PERF.md
-            # "Flash kernel revisited", round-4 update).
-            # Shapes with no merged-output grouping (600M Dh=80 at T≥2)
-            # stay XLA under auto: only the transpose fallback is
-            # available there and its round-3c cost ate the kernel win
-            # (explicit attn_impl=pallas still runs it — never crashes).
+            # per compiled program. Measured policy (PERF.md "Attention
+            # auto policy", round-5 TPU probes; round-4 full-step rows):
+            # * TRAINING -> pallas, every family. Full-step +5.3% at
+            #   b=128/L=197, +12.6% at T=3/L=589 (round 4); fwd+bwd
+            #   kernel-level 0.55x XLA at L=589/Dh=64, 0.645x at
+            #   L=257/Dh=80 (merged g=8), and 0.648x at L=513/Dh=80 —
+            #   the bhld+transpose FALLBACK wins training too, twin
+            #   transposes included, so unsupported merged shapes no
+            #   longer drop to XLA (round-5 policy change).
+            # * INFERENCE, L>=512 -> pallas: forward-only 0.58-0.82x XLA
+            #   for Dh=64 at b=64, 0.77x for the Dh=80 fallback.
+            # * INFERENCE, L<512, large batch -> XLA: 1722 vs 1596
+            #   chips/s at b=512/L=197 (XLA fuses the chain into its
+            #   neighbors near the HBM floor) and 1.15x at L=257/Dh=80.
+            # * b<=16 -> pallas (~2.7x kernel-level, round 3; round-5
+            #   b=8 re-probe is relay-floor-bound — a wash either way).
             training = not deterministic
             impl = ("pallas" if (training or b <= 16 or l >= 512)
-                    and blo_supported(self.num_heads, l, head_dim)
                     else "xla")
         # The kernel is differentiable since round 3 (flash backward via
         # custom_vjp, ops/attention.py) so training forwards may use it.

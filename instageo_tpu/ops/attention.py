@@ -89,9 +89,11 @@ def blo_supported(h: int, l: int, d: int) -> bool:
     works: it dispatches to ``flash_attention_bhld`` and pays one HBM
     transpose to produce the merged layout (the round-3c configuration —
     correct everywhere, slower than the zero-transpose merged kernel).
-    Callers that pick between pallas and XLA on perf grounds (the
-    ``attn_impl=auto`` policy in models/prithvi.py) use this to prefer
-    XLA where only the transpose fallback is available."""
+    Round-5 TPU probes showed the fallback still beats XLA at its only
+    dispatch shapes (Dh=80, L>=513: 0.77x forward-only, 0.648x fwd+bwd
+    at b=64 — PERF.md "Attention auto policy"), so the ``attn_impl=auto``
+    policy no longer consults this; it remains exported for tests and
+    support-matrix introspection."""
     return _merged_grouping(h, l, d) is not None
 
 
@@ -343,9 +345,10 @@ def flash_attention_blo(
     - otherwise (Dh=80 at L>384 — the 600M family multi-temporal, where
       no merged block width is 128-lane aligned): the heads-first kernel
       ``flash_attention_bhld`` plus ONE HBM transpose to the merged
-      layout (its backward pays the twin transpose). Correct everywhere;
-      the ``attn_impl=auto`` policy prefers XLA over this fallback for
-      large-batch shapes (models/prithvi.py).
+      layout (its backward pays the twin transpose). Correct everywhere,
+      and still faster than XLA at its dispatch shapes — round-5 v5e
+      probes: 0.77x forward-only, 0.648x fwd+bwd at b=64/L=513
+      (transposes included; PERF.md "Attention auto policy").
     """
     b, h, l, d = q.shape
     if _merged_grouping(h, l, d) is None:
