@@ -25,7 +25,7 @@ from instageo_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache(None)
 
 
-def run_600m(t_dim: int) -> None:
+def run_600m(t_dim: int, remat: bool = False) -> None:
     from instageo_tpu.configs.config import load_config
     from instageo_tpu.parallel.mesh import make_mesh
     from instageo_tpu.train.factory import create_model
@@ -43,6 +43,10 @@ def run_600m(t_dim: int) -> None:
         "tpu.attn_impl": "auto",
         "tpu.block_layout": "scan",  # O(1) compile in depth (32 blocks)
         "tpu.steps_per_call": 1,
+        # T=4 (L=1025) needs per-block remat even at b=2 on one chip:
+        # 32 scan-stacked blocks of L=1025 residuals are ~18 GB without
+        # it (measured HBM OOM, 17.82 vs 15.75 G).
+        "tpu.remat": remat,
     })
     model, variables = create_model(cfg)
     trainer = Trainer(cfg, model, variables, mesh=make_mesh(1))
@@ -101,7 +105,15 @@ def run_fallback_kernel() -> None:
 
 
 if __name__ == "__main__":
-    run_fallback_kernel()
-    run_600m(t_dim=2)   # the round-4 crash shape: auto -> bhld fallback
-    run_600m(t_dim=1)   # auto -> merged pallas (g=8)
+    import sys
+
+    if "--t4" in sys.argv:
+        # Round-5b gate check: T=4 (L=1025) training must compile via
+        # the pallas_trainable -> XLA route (the flash backward cannot);
+        # eval still dispatches the pallas forward (auto, L>=512).
+        run_600m(t_dim=4, remat=True)
+    else:
+        run_fallback_kernel()
+        run_600m(t_dim=2)  # the round-4 crash shape: auto -> bhld fallback
+        run_600m(t_dim=1)  # auto -> merged pallas (g=8)
     print("OK", flush=True)

@@ -401,15 +401,18 @@ class Attention(nn.Module):
             # Batch/length/mode are static under jit, so the choice binds
             # per compiled program. Measured policy (PERF.md "Attention
             # auto policy", round-5 TPU probes; round-4 full-step rows):
-            # * TRAINING -> pallas, every family. Full-step +5.3% at
-            #   b=128/L=197, +12.6% at T=3/L=589 (round 4); fwd+bwd
-            #   kernel-level 0.55x XLA at L=589/Dh=64, 0.645x at
-            #   L=257/Dh=80 (merged g=8), and 0.648x at L=513/Dh=80 —
-            #   the bhld+transpose FALLBACK wins training too, twin
-            #   transposes included, so unsupported merged shapes no
-            #   longer drop to XLA (round-5 policy change).
+            # * TRAINING -> pallas, every family (where the backward
+            #   compiles — see the pallas_trainable gate below).
+            #   Full-step +5.3% at b=128/L=197, +12.6% at T=3/L=589
+            #   (round 4); fwd+bwd kernel-level 0.55x XLA at L=589/Dh=64,
+            #   0.645x at L=257/Dh=80 (merged g=8), 0.648x at L=513/Dh=80
+            #   and 0.51x at L=769/Dh=80 — the bhld+transpose FALLBACK
+            #   wins training too, twin transposes included, so
+            #   unsupported merged shapes no longer drop to XLA
+            #   (round-5 policy change).
             # * INFERENCE, L>=512 -> pallas: forward-only 0.58-0.82x XLA
-            #   for Dh=64 at b=64, 0.77x for the Dh=80 fallback.
+            #   for Dh=64 at b=64, 0.68-0.77x for the Dh=80 fallback
+            #   (incl. 2.93 vs 4.29 ms at L=1025 b=16).
             # * INFERENCE, L<512, large batch -> XLA: 1722 vs 1596
             #   chips/s at b=512/L=197 (XLA fuses the chain into its
             #   neighbors near the HBM floor) and 1.15x at L=257/Dh=80.
@@ -429,16 +432,26 @@ class Attention(nn.Module):
         # int8 quant runs the XLA attention chain: the flash kernel's
         # VMEM matmuls are bf16 and the projections around it are where
         # the int8 MXU rate pays — mixing the two buys nothing.
+        from instageo_tpu.ops.attention import pallas_trainable
+
         mesh = self.tp_mesh
         mesh_ok = (mesh is None
                    or int(mesh.devices.size) == 1
                    or (_data_only_mesh(mesh)
                        and b % int(mesh.shape["data"]) == 0))
+        # Trainability gate: the flash BACKWARD's (L, L) live set blows
+        # the 16 MB scoped VMEM at L=1025 (600M T=4) — a compile-time
+        # OOM in every kernel variant probed (ops/attention.py
+        # pallas_trainable). `deterministic=False` means grads may be
+        # taken, so such shapes run XLA for training; forward-only
+        # (eval/serving) pallas still runs and wins there.
         use_pallas = (impl == "pallas"
                       and self.quant == "none"
                       and (jax.default_backend() == "tpu"
                            or self.attn_interpret)
-                      and mesh_ok)
+                      and mesh_ok
+                      and (deterministic
+                           or pallas_trainable(self.num_heads, l, head_dim)))
         qkv = QKVProj(self.num_heads, head_dim, dtype=self.dtype,
                       quant=self.quant, name="qkv")
         if use_pallas:

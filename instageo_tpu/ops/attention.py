@@ -82,6 +82,68 @@ def _merged_grouping(h: int, l: int, d: int):
     return h if h <= cap else None
 
 
+_QBLOCK_SCRATCH_BUDGET = 12 * 1024 * 1024
+
+
+def _qblock_plan(h: int, l: int, d: int):
+    """Grouping + q-row blocking for merged-output shapes with NO legal
+    full-L grouping (``_merged_grouping`` is None — Dh=80 at L>384).
+
+    The full-L kernel's VMEM cap is the f32 (L, L) score scratch per
+    (batch·head) pair; probing g=8 at L=513 on v5e confirmed Mosaic does
+    NOT reuse it across the unrolled group loop (compile OOM). Blocking
+    the q rows shrinks the scratch to (Bq, L) per pair while k/v stay
+    whole in VMEM, so the 128-lane-aligned g (8·80 = 640 lanes) becomes
+    affordable: single-pass softmax per row block, no online rescaling.
+    Returns (g, bq, nq) with nq·bq >= l (q rows zero-padded to nq·bq by
+    the wrapper; the pad never pollutes dk/dv because the padded
+    cotangent rows are zero), or None if no 128-aligned g divides h.
+
+    VMEM model (backward-bound, validated on v5e): ~4 live (Bq, L)
+    f32-row-equivalent buffers per unrolled pair (s, p, dp + the bf16
+    ds/pq pair) — Mosaic does NOT share them across the static group
+    loop — plus the two persistent f32 (g, L, Dh) dk/dv accumulators.
+    The first model that omitted the accumulators OOM'd the 16 MB
+    scoped limit at L=769 (20.5 MB requested)."""
+    for g in (8, 6, 4, 3, 2):
+        if h % g == 0 and (g * d) % 128 == 0:
+            break
+    else:
+        return None
+    acc_bytes = 2 * g * l * d * 4
+    avail = _QBLOCK_SCRATCH_BUDGET - acc_bytes
+    row_bytes = 4 * g * l * 4
+    max_bq = (avail // row_bytes) // 8 * 8
+    if max_bq < 8:
+        return None  # accumulators alone blow VMEM at this (g, L, Dh)
+    if max_bq >= l:
+        return None  # full-L block fits; _merged_grouping handles it
+    nq = -(-l // max_bq)
+    bq = -(-(-(-l // nq)) // 8) * 8  # ceil(l/nq) rounded up to sublanes
+    if bq > max_bq:  # sublane rounding overshot the budget: unbalance
+        bq = max_bq
+        nq = -(-l // bq)
+    return g, bq, nq
+
+
+def pallas_trainable(h: int, l: int, d: int) -> bool:
+    """Whether the flash BACKWARD kernels compile for this shape.
+
+    The backward's per-pair live set is dominated by the (L, L)
+    intermediates — s/p/dp in f32 plus the bf16 ds/pq pair, ~16·L²
+    bytes — which must fit v5e's 16 MB scoped VMEM (Mosaic reuses the
+    set across the unrolled group loop, so the bound is per-pair, not
+    per-group). Measured on v5e: L=785 (Dh=64 T=4) compiles and wins,
+    L=1025 (600M T=4) is a compile-time VMEM OOM in every kernel
+    variant including g-minimal and q-blocked
+    (benchmarks/probe_attention_qblock.py). The model gate routes
+    untrainable shapes to XLA when ``deterministic=False``; forward-only
+    (inference) pallas still runs there and wins (2.93 vs 4.29 ms at
+    L=1025 b=16)."""
+    del h, d  # the L² terms dominate; head dim only scales the blocks
+    return l * l * 16 <= 15 * 1024 * 1024
+
+
 def blo_supported(h: int, l: int, d: int) -> bool:
     """Whether the MERGED-OUTPUT kernel has a legal grouping for this
     (num_heads, seq_len, head_dim) — see ``_group_heads`` /
@@ -325,6 +387,181 @@ def _flash_blo_bwd(interpret, residuals, do):
 _flash_blo_merged.defvjp(_flash_blo_fwd, _flash_blo_bwd)
 
 
+def _attn_bwd_kernel_bloq(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                          dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          scale: float, group: int, head_dim: int, nq: int):
+    """Backward for the Q-BLOCKED merged-output layout.
+
+    Grid is (B, H//g, nq) with the q-row block index innermost, so for a
+    fixed (batch, head-group) cell the nq steps run back-to-back: dk/dv
+    are summed over q-blocks in persistent f32 VMEM scratch (zeroed at
+    the first block, flushed to the bf16 output block at the last —
+    single rounding, matching the full-L kernel's grad precision) while
+    dq is per-block local. Padded q rows contribute exactly zero to
+    dk/dv because the wrapper zero-pads the incoming cotangent rows
+    (ds = p·(0 − 0) = 0), so no in-kernel masking is needed."""
+    r = pl.program_id(2)
+
+    @pl.when(r == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    o_full = o_ref[0]    # (Bq, group·Dh)
+    do_full = do_ref[0]
+    for g in range(group):
+        q = q_ref[0, g]    # (Bq, Dh), input dtype
+        k = k_ref[0, g]    # (L, Dh)
+        v = v_ref[0, g]
+        o = jax.lax.slice_in_dim(o_full, g * head_dim,
+                                 (g + 1) * head_dim, axis=1)
+        do = jax.lax.slice_in_dim(do_full, g * head_dim,
+                                  (g + 1) * head_dim, axis=1)
+        lse = lse_ref[0, g].astype(jnp.float32)  # (Bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (Bq, L) f32
+        p = jnp.exp(s - lse)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)  # (Bq, L)
+        pq = p.astype(q.dtype)
+
+        dq_ref[0, g] = (scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
+        dk_acc[g] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_acc[g] += jax.lax.dot_general(
+            pq, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(r == nq - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_fwd_bloq(q, k, v, interpret):
+    """Q-blocked forward: q (B, H, L_pad, Dh) [rows zero-padded by the
+    caller], k/v (B, H, L, Dh) -> out (B, L_pad, H·Dh) + lse. Reuses
+    ``_attn_kernel_blo`` — the kernel body is row-count agnostic."""
+    b, h, l_pad, d = q.shape
+    l = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    g, bq, nq = _qblock_plan(h, l, d)
+    assert nq * bq == l_pad, (nq, bq, l_pad)
+    grid = (b, h // g, nq)
+    q_spec = pl.BlockSpec((1, g, bq, d), lambda i, j, r: (i, j, r, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, g, l, d), lambda i, j, r: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_kernel_blo, scale=scale, group=g,
+                          head_dim=d),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l_pad, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, l_pad, 1), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[
+            pl.BlockSpec((1, bq, g * d), lambda i, j, r: (i, r, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, bq, 1), lambda i, j, r: (i, j, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+def _pad_q_rows(x, l_pad):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, l_pad - x.shape[2]), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_bloq(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Q-blocked merged-output kernel: the zero-HBM-transpose layout for
+    shapes whose full-L merged grouping is VMEM-illegal (Dh=80, L>384).
+    q/k/v (B, H, L, Dh) -> (B, L, H·Dh).
+
+    Measured NEGATIVE on v5e (round 5): loses to the bhld+transpose
+    fallback at every shape where both compile (L=513 b=64: 10.1 vs
+    9.0 ms fwd+bwd, 5.7 vs 4.1 fwd; L=769/1025 fwd likewise), and its
+    backward still VMEM-OOMs at L>=769 — small q-row blocks re-pay k/v
+    DMA waits and under-fill the MXU more than one transpose pair
+    costs. NOT dispatched by ``flash_attention_blo``; kept (tested,
+    interpret-mode CI) as the starting point if a future backend lifts
+    the scoped-VMEM limit. Probe: benchmarks/probe_attention_qblock.py;
+    PERF.md "Q-blocked merged kernel: negative"."""
+    b, h, l, d = q.shape
+    g, bq, nq = _qblock_plan(h, l, d)
+    out, _ = _flash_fwd_bloq(_pad_q_rows(q, nq * bq), k, v, interpret)
+    return out[:, :l]
+
+
+def _flash_bloq_fwd(q, k, v, interpret):
+    b, h, l, d = q.shape
+    g, bq, nq = _qblock_plan(h, l, d)
+    qp = _pad_q_rows(q, nq * bq)
+    out, lse = _flash_fwd_bloq(qp, k, v, interpret)
+    return out[:, :l], (qp, k, v, out, lse)
+
+
+def _flash_bloq_bwd(interpret, residuals, do):
+    qp, k, v, out, lse = residuals
+    b, h, l_pad, d = qp.shape
+    l = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    g, bq, nq = _qblock_plan(h, l, d)
+    # Zero-padded cotangent rows make the padded q rows inert in dk/dv.
+    dop = jnp.pad(do, ((0, 0), (0, l_pad - l), (0, 0)))
+    grid = (b, h // g, nq)
+    q_spec = pl.BlockSpec((1, g, bq, d), lambda i, j, r: (i, j, r, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, g, l, d), lambda i, j, r: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, bq, g * d), lambda i, j, r: (i, r, j),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_bloq, scale=scale, group=g,
+                          head_dim=d, nq=nq),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, l_pad, d), do.dtype),
+            jax.ShapeDtypeStruct((b, h, l, d), do.dtype),
+            jax.ShapeDtypeStruct((b, h, l, d), do.dtype),
+        ],
+        grid=grid,
+        in_specs=[
+            q_spec, kv_spec, kv_spec, o_spec, o_spec,
+            pl.BlockSpec((1, g, bq, 1), lambda i, j, r: (i, j, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        scratch_shapes=[
+            pltpu.VMEM((g, l, d), jnp.float32),
+            pltpu.VMEM((g, l, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, k, v, out, dop, lse)
+    return dq[:, :, :l], dk, dv
+
+
+_flash_bloq.defvjp(_flash_bloq_fwd, _flash_bloq_bwd)
+
+
 def flash_attention_blo(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -351,10 +588,16 @@ def flash_attention_blo(
       (transposes included; PERF.md "Attention auto policy").
     """
     b, h, l, d = q.shape
-    if _merged_grouping(h, l, d) is None:
-        out = flash_attention_bhld(q, k, v, interpret)  # (B, H, L, Dh)
-        return out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
-    return _flash_blo_merged(q, k, v, interpret)
+    if _merged_grouping(h, l, d) is not None:
+        return _flash_blo_merged(q, k, v, interpret)
+    # NOT the q-blocked kernel (_flash_bloq): measured SLOWER than this
+    # transpose fallback at every shape where both compile (L=513 b=64:
+    # 10.1 vs 9.0 ms fwd+bwd, 5.7 vs 4.1 fwd; L=769/1025 fwd likewise —
+    # benchmarks/probe_attention_qblock.py, PERF.md "Q-blocked merged
+    # kernel: negative"). Small q-row blocks re-stream k/v DMA waits and
+    # under-fill the MXU more than one HBM transpose pair costs.
+    out = flash_attention_bhld(q, k, v, interpret)  # (B, H, L, Dh)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
 def _prep(x, b, h, l, d):

@@ -208,11 +208,62 @@ def test_pallas_attention_on_data_mesh_matches_xla():
     # composition tests in the multichip dryrun.)
 
 
+@pytest.mark.parametrize("b,h,l,d", [
+    (1, 16, 513, 80),   # 600M T=2: plan (g=8, bq=136, nq=4), 31 pad rows
+    (1, 8, 413, 16),    # small-geometry odd L: (g=8, bq=208, nq=2)
+])
+def test_flash_attention_qblock_matches_reference(b, h, l, d):
+    """Q-blocked merged-output kernel (round 5, `_flash_bloq`): zero HBM
+    transposes, dk/dv accumulated over q-blocks in f32 scratch, padded q
+    rows inert. A measured NEGATIVE vs the bhld fallback on v5e so NOT
+    dispatched by flash_attention_blo (PERF.md) — kept as a tested
+    variant; fwd and bwd must match the reference exactly, including
+    with row padding (nq*bq > L)."""
+    from instageo_tpu.ops.attention import (
+        _flash_bloq,
+        _merged_grouping,
+        _qblock_plan,
+    )
+
+    assert _merged_grouping(h, l, d) is None
+    g, bq, nq = _qblock_plan(h, l, d)
+    assert nq * bq >= l and (g * d) % 128 == 0
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
+               for _ in range(3))
+    ref = attention_reference(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
+    ref = np.asarray(ref).reshape(b, l, h * d)
+    out = _flash_bloq(q, k, v, interpret=True)
+    assert out.shape == (b, l, h * d)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+    def loss_blo(q, k, v):
+        return (_flash_bloq(q, k, v, True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        out = attention_reference(*(t.transpose(0, 2, 1, 3)
+                                    for t in (q, k, v)))
+        return (out.reshape(b, l, h * d) ** 2).sum()
+
+    g_f = jax.grad(loss_blo, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
 def test_flash_attention_blo_fallback_unsupported_grouping():
     """Shapes with no legal merged grouping (600M Dh=80 multi-temporal)
     dispatch to the heads-first kernel + transpose — fwd and bwd both
-    match the reference."""
-    from instageo_tpu.ops.attention import blo_supported, flash_attention_blo
+    match the reference. Also pins the trainability boundary: the flash
+    backward's (L, L) VMEM live set compiles up to L=785 (Dh=64 T=4)
+    but not at L=1025 (600M T=4, hardware-verified compile OOM)."""
+    from instageo_tpu.ops.attention import (
+        _merged_grouping,
+        blo_supported,
+        flash_attention_blo,
+        pallas_trainable,
+    )
 
     assert not blo_supported(16, 400, 80)   # Dh=80, L>384: cap excludes g=8
     assert not blo_supported(16, 513, 80)   # 600M T=2
@@ -220,8 +271,13 @@ def test_flash_attention_blo_fallback_unsupported_grouping():
     assert blo_supported(12, 197, 64)       # 100M: g=6 -> 384 lanes
     assert blo_supported(2, 128, 80)        # full-dim merged block (g=h)
 
+    assert pallas_trainable(12, 785, 64)     # 100M T=4: compiles + wins
+    assert pallas_trainable(16, 769, 80)     # 600M T=3: 0.51x XLA fwd+bwd
+    assert not pallas_trainable(16, 1025, 80)  # 600M T=4: bwd VMEM OOM
+
     rng = np.random.default_rng(9)
     b, h, l, d = 1, 16, 400, 80
+    assert _merged_grouping(h, l, d) is None
     q, k, v = (jnp.asarray(rng.standard_normal((b, h, l, d)).astype(np.float32))
                for _ in range(3))
     ref = attention_reference(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
@@ -243,6 +299,30 @@ def test_flash_attention_blo_fallback_unsupported_grouping():
     for gf, gr, name in zip(g_f, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_untrainable_shape_training_routes_to_xla():
+    """At L=1025 (600M T=4 geometry) the flash backward cannot compile
+    (pallas_trainable is False), so a TRAINING forward
+    (deterministic=False) under explicit pallas must run the XLA branch
+    — same numerics, no crash — while the inference forward
+    (deterministic=True) stays on the pallas branch."""
+    from instageo_tpu.models.prithvi import Attention
+
+    rng = np.random.default_rng(11)
+    l, d, h = 1025, 160, 2  # L is what gates; tiny width keeps CPU fast
+    x = jnp.asarray(rng.normal(size=(1, l, d)).astype(np.float32) * 0.1)
+    m_x = Attention(num_heads=h, dtype=jnp.float32, attn_impl="xla")
+    variables = m_x.init(jax.random.PRNGKey(0), x)
+    m_p = Attention(num_heads=h, dtype=jnp.float32, attn_impl="pallas",
+                    attn_interpret=True)
+    out_train = m_p.apply(variables, x, False)   # gate -> xla branch
+    ref_train = m_x.apply(variables, x, False)
+    np.testing.assert_array_equal(np.asarray(out_train),
+                                  np.asarray(ref_train))
+    out_infer = m_p.apply(variables, x, True)    # pallas branch (interpret)
+    np.testing.assert_allclose(np.asarray(out_infer),
+                               np.asarray(ref_train), atol=5e-5, rtol=1e-4)
 
 
 def test_attn_impl_auto_matches_xla_numerics():
