@@ -48,6 +48,10 @@ CONFIGS = [
     (64, 16, 257, 80, "600M T=1 (merged g=8)"),
     (8, 16, 513, 80, "600M T=2 small-batch (bhld fallback)"),
     (64, 16, 513, 80, "600M T=2 (bhld fallback)"),
+    # Round-5b: the l>=512 inference branch at SERVING batch sizes —
+    # XLA won back at L=197/b=512, so check it doesn't at long L.
+    (256, 12, 589, 64, "100M T=3 serving batch"),
+    (128, 12, 785, 64, "100M T=4 serving batch"),
 ]
 
 
