@@ -71,13 +71,21 @@ def make_fused_predict_fn(model, variables, mean, std, *,
 
     Preprocess + forward + argmax fuse into a single XLA program, so the
     normalize never materializes in HBM as a separate pass.
+
+    ``variables`` are passed to the jitted function as ARGUMENTS, not
+    captured in the closure: closed-over arrays become jaxpr constants
+    embedded in the program, which bloats the executable by the full
+    parameter size (~400 MB for Prithvi-100M) and — on remote-compile
+    backends like the axon relay — overflows the compile-request body
+    (HTTP 413, round-5 hardware finding). As args they ship once as
+    device buffers.
     """
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
     bands_t = tuple(bands) if bands is not None else None
 
     @jax.jit
-    def predict(raw):
+    def _predict(variables, raw):
         x = preprocess_chips(raw, mean, std, temporal_size=temporal_size,
                              bands=bands_t,
                              constant_multiplier=constant_multiplier,
@@ -89,4 +97,11 @@ def make_fused_predict_fn(model, variables, mean, std, *,
             return logits[..., 0].astype(jnp.float32)
         return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
+    def predict(raw):
+        return _predict(variables, raw)
+
+    # Exposed for the CI pin that params stay ARGUMENTS of the jitted
+    # program (tests/serve_tests/test_fused_predict_consts.py).
+    predict._jitted = _predict
+    predict._variables = variables
     return predict
