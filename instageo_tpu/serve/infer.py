@@ -60,10 +60,16 @@ def save_prediction(
 
 def make_predict_fn(model: Any, variables: Dict, is_reg_task: bool = False,
                     probabilities: bool = False):
-    """Build the jitted inference function over replicated variables."""
+    """Build the jitted inference function over replicated variables.
+
+    ``variables`` are ARGUMENTS of the jitted program, not closure
+    captures — closed-over arrays become jaxpr constants, bloating the
+    executable by the parameter size and overflowing remote-compile
+    request bodies (HTTP 413 on the axon relay; same round-5 fix as
+    ops/preprocess.py make_fused_predict_fn)."""
 
     @jax.jit
-    def predict(x):
+    def _predict(variables, x):
         # channels_last skips the NCHW output transpose (serving fast
         # path, see models/seg.py); class dim is axis=-1 here.
         logits = model.apply(variables, x, train=False, channels_last=True)
@@ -76,6 +82,11 @@ def make_predict_fn(model: Any, variables: Dict, is_reg_task: bool = False,
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
+    def predict(x):
+        return _predict(variables, x)
+
+    predict._jitted = _predict
+    predict._variables = variables
     return predict
 
 

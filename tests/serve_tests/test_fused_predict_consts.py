@@ -36,7 +36,29 @@ def test_fused_predict_params_are_args_not_consts():
     # The inner jitted fn takes (variables, raw): tracing it with both
     # as arguments must leave only trivial consts (mean/std etc.) in
     # the jaxpr — parameter-sized consts mean closure capture came back.
-    jaxpr = jax.make_jaxpr(predict._jitted)(predict._variables, raw)
+    _assert_params_are_args(predict, raw)
+
+
+def test_serve_predict_params_are_args_not_consts():
+    """Same pin for serve/infer.py's make_predict_fn (the chip-inference
+    forward): params must stay jit arguments."""
+    from instageo_tpu.models.seg import create_prithvi_seg
+    from instageo_tpu.serve.infer import make_predict_fn
+
+    model = create_prithvi_seg(
+        "prithvi_eo_tiny", num_classes=2, temporal_step=1,
+        image_size=32, num_bands=6, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 6, 1, 32, 32), jnp.float32))
+    predict = make_predict_fn(model, variables)
+    x = jnp.zeros((2, 6, 1, 32, 32), jnp.float32)
+    out = predict(x)
+    assert out.shape == (2, 32, 32)
+    _assert_params_are_args(predict, x)
+
+
+def _assert_params_are_args(predict, inp):
+    jaxpr = jax.make_jaxpr(predict._jitted)(predict._variables, inp)
     const_bytes = sum(
         np.asarray(c).nbytes for c in jaxpr.consts
         if hasattr(c, "shape"))
